@@ -1,0 +1,121 @@
+"""Surface normal estimation via PCA over voxel-hash neighborhoods.
+
+TPU-native equivalent of the reference's two normal estimators:
+  - Open3D ``EstimateNormals`` with KNN-hybrid search + orientation toward
+    the sensor (reference CloudRegistration.cpp:62-75
+    estimateNormalsOrCovariancesIfNeeded),
+  - libpointmatcher SurfaceNormalDataPointsFilter / PCA estimator
+    (reference pointmatcher/SurfaceNormalEstimatorPCA.cpp — PCA normal plus
+    linearity/planarity/curvature descriptors).
+
+Instead of a kd-tree we gather k neighbors from the CSR voxel-hash grid and
+run a batched 3x3 symmetric eigen-solve.  The smallest-eigenvector solve is
+closed-form (no LAPACK), so the whole pass stays on the VPU and fuses.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pointcloud import PointCloud
+from . import hashgrid
+
+Array = jax.Array
+
+
+def smallest_eigenvector_3x3(C: Array):
+    """Batched closed-form smallest eigenpair of symmetric 3x3 matrices.
+
+    Uses the trigonometric (Cardano) eigenvalue formula followed by a
+    cross-product eigenvector extraction — branch-free and VPU-friendly,
+    unlike LAPACK eigh.  C: f32[..., 3, 3].
+    Returns (eigvec f32[...,3], eigvals_sorted_ascending f32[...,3]).
+    """
+    q = jnp.trace(C, axis1=-2, axis2=-1) / 3.0
+    I = jnp.eye(3, dtype=C.dtype)
+    A = C - q[..., None, None] * I
+    p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20))
+    B = A / p[..., None, None]
+    detB = jnp.linalg.det(B)
+    phi = jnp.arccos(jnp.clip(detB / 2.0, -1.0, 1.0)) / 3.0
+    # Eigenvalues of C: q + 2 p cos(phi + 2k pi / 3), k = 0,1,2.
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    evals = jnp.stack([e3, e2, e1], axis=-1)  # ascending
+
+    # Eigenvector for the smallest eigenvalue e3: any nonzero column of
+    # (C - e1 I)(C - e2 I) spans it.  Pick the largest column for stability.
+    M = (C - e1[..., None, None] * I) @ (C - e2[..., None, None] * I)
+    norms = jnp.sum(M * M, axis=-2)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(M, best[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    # Degenerate case (isotropic / planar-degenerate): fall back to z.
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=C.dtype), v.shape)
+    v = jnp.where(vn > 1e-12, v / (vn + 1e-20), fallback)
+    return v, evals
+
+
+@partial(jax.jit, static_argnames=("k", "max_per_bucket"))
+def estimate_normals(cloud: PointCloud, radius, k: int = 16,
+                     sensor_origin=None, max_per_bucket: int = 32,
+                     min_neighbors: int = 3) -> PointCloud:
+    """PCA normals from up-to-k neighbors within ``radius`` (hybrid search).
+
+    Matches Open3D KDTreeSearchParamHybrid(radius, max_nn) semantics used by
+    the reference (CloudRegistration.cpp:62-75).  Normals are oriented
+    toward ``sensor_origin`` (default: the cloud frame origin, as the
+    reference orients toward the sensor).
+    Points with < min_neighbors stay with zero normals.
+    """
+    grid = hashgrid.build(cloud, cell_size=radius, table_size=1 << 14)
+    idx, d2, ok = hashgrid.query_knn(grid, cloud.xyz, cloud.mask, radius, k=k,
+                                     max_per_bucket=max_per_bucket)
+    nbr = grid.points[idx]  # [N, k, 3]
+    w = ok.astype(jnp.float32)[..., None]
+    cnt = jnp.sum(w, axis=-2)
+    mean = jnp.sum(nbr * w, axis=-2) / jnp.maximum(cnt, 1.0)
+    d = (nbr - mean[:, None, :]) * w
+    C = jnp.einsum("nki,nkj->nij", d, d) / jnp.maximum(cnt[..., None], 1.0)
+    n, evals = smallest_eigenvector_3x3(C)
+    if sensor_origin is None:
+        sensor_origin = jnp.zeros((3,), dtype=jnp.float32)
+    else:
+        sensor_origin = jnp.asarray(sensor_origin, dtype=jnp.float32)
+    to_sensor = sensor_origin - cloud.xyz
+    flip = jnp.sum(n * to_sensor, axis=-1, keepdims=True) < 0
+    n = jnp.where(flip, -n, n)
+    good = jnp.logical_and(cloud.mask, cnt[..., 0] >= min_neighbors)
+    return cloud.with_normals(jnp.where(good[:, None], n, 0.0))
+
+
+@partial(jax.jit, static_argnames=("k", "max_per_bucket"))
+def surface_descriptors(cloud: PointCloud, radius, k: int = 16,
+                        max_per_bucket: int = 32):
+    """Linearity / planarity / curvature descriptors from local PCA.
+
+    (reference SurfaceNormalEstimatorPCA.cpp descriptors; also the basis of
+    the SamplingSurfaceNormal filter family.)
+    Returns f32[N, 3] = (linearity, planarity, curvature).
+    """
+    grid = hashgrid.build(cloud, cell_size=radius, table_size=1 << 14)
+    idx, d2, ok = hashgrid.query_knn(grid, cloud.xyz, cloud.mask, radius, k=k,
+                                     max_per_bucket=max_per_bucket)
+    nbr = grid.points[idx]
+    w = ok.astype(jnp.float32)[..., None]
+    cnt = jnp.sum(w, axis=-2)
+    mean = jnp.sum(nbr * w, axis=-2) / jnp.maximum(cnt, 1.0)
+    d = (nbr - mean[:, None, :]) * w
+    C = jnp.einsum("nki,nkj->nij", d, d) / jnp.maximum(cnt[..., None], 1.0)
+    _, evals = smallest_eigenvector_3x3(C)  # ascending e0 <= e1 <= e2
+    e0, e1, e2 = evals[..., 0], evals[..., 1], evals[..., 2]
+    safe = jnp.maximum(e2, 1e-12)
+    linearity = (e2 - e1) / safe
+    planarity = (e1 - e0) / safe
+    curvature = e0 / jnp.maximum(e0 + e1 + e2, 1e-12)
+    out = jnp.stack([linearity, planarity, curvature], axis=-1)
+    return jnp.where(cloud.mask[:, None], out, 0.0)

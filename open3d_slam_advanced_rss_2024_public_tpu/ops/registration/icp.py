@@ -1,0 +1,194 @@
+"""The ICP driver: a jit-compiled fixed-shape registration loop.
+
+TPU-native replacement for libpointmatcher's ICP chain driver
+(reference: pointmatcher/ICP.cpp:258-468 — per-iteration: transform
+reading -> matcher->findClosests -> outlierFilters.compute ->
+errorMinimizer->compute -> transformationCheckers.check) and for the
+Open3D registration strategies the SLAM core wraps
+(reference: open3d_slam_rsl/.../src/CloudRegistration.cpp:16-121).
+
+Design: the chain stays conceptually modular (match -> weight -> minimize
+-> check) but is compiled as one `lax.while_loop` over static-shape masked
+arrays, so the whole scan-to-map solve is a single XLA program — no
+per-iteration host round-trips (the analogue of the reference's innermost
+hot loop, SURVEY.md §3.1).
+
+Conditioning: the solve runs in coordinates de-meaned at the reference
+centroid, mirroring ICP.cpp:293-326 ("structuration of the reference
+centered at its centroid"), which keeps float32 normal equations healthy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import se3
+from ...utils.pointcloud import PointCloud
+from .. import hashgrid
+from . import minimizers, outliers
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static (hashable) ICP chain configuration.
+
+    Defaults mirror the production chain in the reference's icp.yaml
+    (ros/open3d_slam_ros/param/icp.yaml): knn=1 maxDist=0.5, trimmed 0.90,
+    normal-angle gate 1.57, differential checker (0.001 rad / 0.01 m,
+    smooth 3), counter checker 15 iterations.
+    """
+
+    max_iterations: int = 15
+    max_correspondence_dist: float = 0.5
+    trimmed_ratio: float = 0.90
+    normal_max_angle: float = 1.57
+    use_normal_gate: bool = True
+    min_diff_rot: float = 0.001
+    min_diff_trans: float = 0.01
+    smooth_length: int = 3
+    minimizer: str = "point_to_plane"  # point_to_plane | point_to_point | gicp
+    robust_kernel: Optional[str] = None  # cauchy/welsch/huber/... or None
+    robust_k: float = 0.5
+    max_per_bucket: int = 32
+    damping: float = 1e-6
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    """transform: 4x4 mapping source frame -> reference frame.
+    match_ratio ≙ errorMinimizer getOverlap / Open3D fitness;
+    rmse ≙ inlier RMSE (point-to-plane or point-to-point metric)."""
+
+    transform: Array
+    iterations: Array
+    converged: Array
+    match_ratio: Array
+    rmse: Array
+
+
+def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm):
+    w = outliers.trimmed_dist_weights(sq_dists, found, cfg.trimmed_ratio)
+    if cfg.use_normal_gate:
+        w = w * outliers.surface_normal_weights(src_nrm, ref_nrm, found, cfg.normal_max_angle)
+    if cfg.robust_kernel is not None:
+        w = w * outliers.robust_weights(sq_dists, found, cfg.robust_kernel, cfg.robust_k)
+    return w
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
+             cfg: ICPConfig = ICPConfig()) -> ICPResult:
+    """Register ``source`` against a prebuilt reference hash grid.
+
+    init_T is the initial guess mapping source frame into reference frame.
+    """
+    n_src = source.capacity
+    # Reference centroid for de-meaned solving.
+    ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
+    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
+
+    smooth = max(cfg.smooth_length, 1)
+
+    def body(carry):
+        T, it, ring, _, _, _ = carry
+        src = se3.apply(T, source.xyz)
+        src_nrm = se3.rotate(T, source.normals)
+        idx, d2, found = hashgrid.query_nn(
+            ref_grid, src, source.mask, cfg.max_correspondence_dist,
+            max_per_bucket=cfg.max_per_bucket,
+        )
+        ref_pts = ref_grid.points[idx]
+        ref_nrm = ref_grid.normals[idx]
+        w = _weights(cfg, d2, found, src_nrm, ref_nrm)
+
+        src_c = jnp.where(found[:, None], src - centroid, 0.0)
+        ref_c = jnp.where(found[:, None], ref_pts - centroid, 0.0)
+        if cfg.minimizer == "point_to_plane":
+            xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
+        elif cfg.minimizer == "point_to_point":
+            xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
+        else:
+            raise ValueError(f"unsupported minimizer in while-loop: {cfg.minimizer}")
+
+        # Compose update (in centered frame): T <- C * exp(xi) * C^-1 * T.
+        dT = se3.se3_exp(xi)
+        shift = se3.make_transform(jnp.eye(3, dtype=src.dtype), centroid)
+        T_new = shift @ dT @ se3.inverse(shift) @ T
+
+        # Differential transformation checker ring buffer of per-step deltas.
+        rot_delta = jnp.linalg.norm(xi[:3])
+        trans_delta = jnp.linalg.norm(xi[3:])
+        ring = jnp.roll(ring, 1, axis=0).at[0].set(jnp.stack([rot_delta, trans_delta]))
+
+        n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+        match_ratio = jnp.sum(found.astype(jnp.float32)) / n_valid
+        return T_new, it + 1, ring, match_ratio, jnp.sqrt(mean_sq), xi
+
+    def cond(carry):
+        _, it, ring, _, _, _ = carry
+        mean_deltas = jnp.mean(ring, axis=0)
+        converged = jnp.logical_and(
+            it >= smooth,
+            jnp.logical_and(mean_deltas[0] < cfg.min_diff_rot,
+                            mean_deltas[1] < cfg.min_diff_trans),
+        )
+        return jnp.logical_and(it < cfg.max_iterations, jnp.logical_not(converged))
+
+    ring0 = jnp.full((smooth, 2), jnp.inf, dtype=jnp.float32)
+    carry0 = (
+        jnp.asarray(init_T, jnp.float32),
+        jnp.int32(0),
+        ring0,
+        jnp.float32(0.0),
+        jnp.float32(jnp.inf),
+        jnp.zeros((6,), jnp.float32),
+    )
+    T, it, ring, match_ratio, rmse, _ = jax.lax.while_loop(cond, body, carry0)
+    mean_deltas = jnp.mean(ring, axis=0)
+    converged = jnp.logical_and(mean_deltas[0] < cfg.min_diff_rot,
+                                mean_deltas[1] < cfg.min_diff_trans)
+    return ICPResult(
+        transform=se3.orthonormalize(T),
+        iterations=it,
+        converged=converged,
+        match_ratio=match_ratio,
+        rmse=rmse,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "table_size"))
+def register_clouds(source: PointCloud, reference: PointCloud, init_T: Array,
+                    cfg: ICPConfig = ICPConfig(), table_size: int = 1 << 14) -> ICPResult:
+    """Convenience: build the reference grid then register.
+
+    Equivalent of CloudRegistration::registerClouds
+    (reference CloudRegistration.cpp:57-61) for one-shot scan-to-scan use;
+    the mapper instead keeps a persistent grid (≙ ICP::initReference
+    amortization, ICP.cpp:291-326).
+    """
+    grid = hashgrid.build(reference, cfg.max_correspondence_dist, table_size=table_size)
+    return register(source, grid, init_T, cfg)
+
+
+def evaluate_registration(source: PointCloud, target_grid: hashgrid.HashGrid,
+                          T: Array, max_dist: float, max_per_bucket: int = 32):
+    """Open3D-style (fitness, inlier_rmse) of a candidate transform.
+
+    (reference: Open3D EvaluateRegistration used by PlaceRecognition
+    fitness gates — PlaceRecognition.cpp:117-121.)
+    """
+    src = se3.apply(T, source.xyz)
+    _, d2, found = hashgrid.query_nn(target_grid, src, source.mask, max_dist,
+                                     max_per_bucket=max_per_bucket)
+    n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+    fitness = jnp.sum(found.astype(jnp.float32)) / n_valid
+    inlier_sq = jnp.sum(jnp.where(found, d2, 0.0)) / jnp.maximum(jnp.sum(found.astype(jnp.float32)), 1.0)
+    return fitness, jnp.sqrt(inlier_sq)

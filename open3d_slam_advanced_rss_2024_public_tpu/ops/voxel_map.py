@@ -1,0 +1,162 @@
+"""Persistent voxelized point map with exact running-average fusion.
+
+TPU-native equivalent of the reference's map containers:
+  - ``VoxelizedPointCloud`` / ``AggregatedVoxel`` — running mean of
+    position/normal per voxel (reference: include/open3d_slam/Voxel.hpp:19-80,
+    src/Voxel.cpp),
+  - the Submap's sparse ``mapCloud_`` maintained by re-voxelization around
+    the robot on every insertion (reference Submap.cpp:82-96, where the
+    full-map re-voxelize is flagged as suboptimal in its own comment).
+
+Design: the map is a fixed-capacity cloud of voxel means plus per-voxel
+accumulated weights.  Insertion concatenates the scan, lex-sorts by voxel
+key and reduces with weighted segment sums — an *exact* incremental voxel
+average (mean-of-means carries weights, so repeated insertion introduces no
+bias), computed as one fused XLA program per scan instead of the
+reference's per-point hash-map loop.  Capacity overflow keeps the
+highest-weight voxels (stable spatial backbone) — submap rollover bounds
+growth like the reference's submap budgets.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pointcloud import PointCloud, SENTINEL
+from .hashgrid import voxel_key
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VoxelMap:
+    """cloud: voxel-mean positions/normals; weight: points fused per voxel."""
+
+    cloud: PointCloud
+    weight: Array  # f32[C]
+
+    @property
+    def capacity(self) -> int:
+        return self.cloud.capacity
+
+    def count(self) -> Array:
+        return self.cloud.count()
+
+
+def empty(capacity: int) -> VoxelMap:
+    from ..utils.pointcloud import empty_cloud
+
+    return VoxelMap(cloud=empty_cloud(capacity), weight=jnp.zeros((capacity,), jnp.float32))
+
+
+def _lex_order(vkey: Array) -> Array:
+    order = jnp.arange(vkey.shape[0], dtype=jnp.int32)
+    for axis in (2, 1, 0):
+        o = jnp.argsort(vkey[order, axis], stable=True)
+        order = order[o]
+    return order
+
+
+@partial(jax.jit, static_argnames=())
+def insert(vmap: VoxelMap, scan: PointCloud, voxel_size) -> VoxelMap:
+    """Fuse a scan (already in map frame) into the voxel map."""
+    C = vmap.capacity
+    xyz = jnp.concatenate([vmap.cloud.xyz, scan.xyz], axis=0)
+    nrm = jnp.concatenate([vmap.cloud.normals, scan.normals], axis=0)
+    mask = jnp.concatenate([vmap.cloud.mask, scan.mask], axis=0)
+    w = jnp.concatenate([vmap.weight, jnp.ones((scan.capacity,), jnp.float32)], axis=0)
+    w = jnp.where(mask, w, 0.0)
+    n = xyz.shape[0]
+
+    cell = jnp.asarray(voxel_size, jnp.float32)
+    vkey = voxel_key(xyz, cell)
+    big = jnp.int32(2**30)
+    vkey = jnp.where(mask[:, None], vkey, big)
+    order = _lex_order(vkey)
+    sk = vkey[order]
+    new_seg = jnp.any(sk != jnp.roll(sk, 1, axis=0), axis=-1).at[0].set(True)
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    sw = w[order]
+    sum_w = jax.ops.segment_sum(sw, seg, num_segments=n)
+    sum_xyz = jax.ops.segment_sum(xyz[order] * sw[:, None], seg, num_segments=n)
+    sum_nrm = jax.ops.segment_sum(nrm[order] * sw[:, None], seg, num_segments=n)
+    denom = jnp.maximum(sum_w, 1e-9)[:, None]
+    mean_xyz = sum_xyz / denom
+    mean_nrm = sum_nrm / denom
+    nlen = jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True)
+    mean_nrm = jnp.where(nlen > 1e-6, mean_nrm / (nlen + 1e-12), 0.0)
+    occupied = sum_w > 0
+
+    # Keep the top-C voxels by weight when over capacity (stable backbone).
+    priority = jnp.where(occupied, sum_w, -1.0)
+    top = jax.lax.top_k(priority, C)[1]
+    keep_mask = occupied[top]
+    cloud = PointCloud(
+        xyz=jnp.where(keep_mask[:, None], mean_xyz[top], SENTINEL),
+        normals=jnp.where(keep_mask[:, None], mean_nrm[top], 0.0),
+        mask=keep_mask,
+    )
+    return VoxelMap(cloud=cloud, weight=jnp.where(keep_mask, sum_w[top], 0.0))
+
+
+@jax.jit
+def transform(vmap: VoxelMap, T: Array) -> VoxelMap:
+    """Rigidly move the whole map (loop-closure feedback onto submaps,
+    reference Submap::transform, Submap.cpp:115-128)."""
+    return VoxelMap(cloud=vmap.cloud.transform(T), weight=vmap.weight)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_size,
+          truncation_distance, max_ray_length, steps: int = 64) -> VoxelMap:
+    """Ray-cast space carving: clear map voxels on the free-space segment of
+    each scan ray (reference helpers.cpp:238-281 getIdxsOfCarvedPoints,
+    Submap::carve Submap.cpp:130-157).
+
+    Fixed-shape formulation: sample ``steps`` points along every valid ray
+    between the sensor and (hit distance - truncation); build a hash-grid
+    occupancy of the sampled free-space voxels; drop map points whose voxel
+    is flagged.  Hash collisions can over-carve with probability ~N/2^32 per
+    voxel — negligible against LiDAR noise (the reference's carving is also
+    voxel-approximate).
+    """
+    from . import hashgrid
+    from ..utils.pointcloud import make_cloud
+
+    origin = jnp.asarray(sensor_origin, jnp.float32)
+    ray = scan.xyz - origin
+    hit_dist = jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    direction = ray / jnp.maximum(hit_dist, 1e-9)
+    free_len = jnp.minimum(hit_dist - truncation_distance, max_ray_length)
+    # steps samples in (0, free_len): fractions (i+0.5)/steps.
+    frac = (jnp.arange(steps, dtype=jnp.float32) + 0.5) / steps
+    sample_d = frac[None, :, None] * free_len[:, None, :]  # [N, S, 1]
+    samples = origin + direction[:, None, :] * sample_d  # [N, S, 3]
+    sample_ok = jnp.logical_and(scan.mask[:, None], (free_len > 0)[:, None].repeat(steps, 1)[..., 0]
+                                if free_len.ndim > 1 else (free_len > 0))
+    sample_ok = jnp.logical_and(scan.mask[:, None], jnp.broadcast_to(free_len > 0, (scan.capacity, steps)))
+    flat = samples.reshape(-1, 3)
+    flat_ok = sample_ok.reshape(-1)
+    free_cloud = PointCloud(
+        xyz=jnp.where(flat_ok[:, None], flat, SENTINEL),
+        normals=jnp.zeros_like(flat),
+        mask=flat_ok,
+    )
+    grid = hashgrid.build(free_cloud, carve_voxel_size, table_size=1 << 16)
+    carved = hashgrid.occupied_voxel_lookup(grid, vmap.cloud.xyz, vmap.cloud.mask)
+    keep = jnp.logical_not(carved)
+    return VoxelMap(cloud=vmap.cloud.with_mask(keep),
+                    weight=jnp.where(jnp.logical_and(vmap.cloud.mask, keep), vmap.weight, 0.0))
+
+
+@partial(jax.jit, static_argnames=("max_per_bucket",))
+def overlap_mask(vmap_grid, other: PointCloud, voxel_size=None, max_per_bucket: int = 32):
+    """Mask of ``other``'s points that fall in occupied voxels of a map grid
+    (reference helpers.cpp:320-345 computeIndicesOfOverlappingPoints)."""
+    from . import hashgrid
+
+    return hashgrid.occupied_voxel_lookup(vmap_grid, other.xyz, other.mask)

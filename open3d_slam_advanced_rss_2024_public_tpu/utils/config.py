@@ -1,0 +1,306 @@
+"""Typed parameter tree + strict loader — the framework's config system.
+
+Mirrors the reference's three-tier config surface in one place:
+  - the Lua parameter schema with defaults + deepcopy inheritance
+    (reference: open3d_slam_lua_io/example_param/default/
+    parameter_structure_definitions.lua:1-169 — parameter names and default
+    values below match that schema one-for-one so reference users can port
+    their tuning files directly),
+  - the SlamParameters C++ struct tree
+    (reference: include/open3d_slam/Parameters.hpp:22-215),
+  - the libpointmatcher icp.yaml module chain
+    (reference: ros/open3d_slam_ros/param/icp.yaml -> ScanToMapIcpConfig).
+
+Loading is strict like the reference's LuaLoader use-count verification
+(reference LuaLoader.cpp:96-130): unknown keys raise, so typos cannot
+silently fall back to defaults.  Overrides are nested dicts deep-merged
+onto the defaults (the analogue of Lua deepcopy-based inheritance).
+
+Frozen dataclasses are hashable, so configs can be passed as jit static
+arguments directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+def _load(cls, data: dict, path: str = ""):
+    """Instantiate dataclass ``cls`` from a nested dict, strictly."""
+    known = {f.name: f for f in fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in known:
+            raise KeyError(f"unknown config key '{path}{key}' for {cls.__name__}")
+        ftype = known[key].type
+        default = getattr(cls, key, None)
+        if dataclasses.is_dataclass(default.__class__) and isinstance(value, dict):
+            kwargs[key] = _load(default.__class__, value, path=f"{path}{key}.")
+        elif isinstance(value, dict):
+            # Nested dataclass with a default_factory.
+            factory = known[key].default_factory  # type: ignore[union-attr]
+            if factory is dataclasses.MISSING:
+                raise TypeError(f"config key '{path}{key}' is not a nested section")
+            kwargs[key] = _load(factory, value, path=f"{path}{key}.")
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Leaf parameter blocks (names/defaults ≙ parameter_structure_definitions.lua)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SavingParameters:
+    save_at_mission_end: bool = True
+    save_map: bool = False
+    save_submaps: bool = False
+    save_dense_submaps: bool = False
+
+
+@dataclass(frozen=True)
+class MotionCompensationParameters:
+    is_undistort_scan: bool = False
+    is_spinning_clockwise: bool = True
+    scan_duration: float = 0.1
+    num_poses_vel_estimation: int = 3
+
+
+@dataclass(frozen=True)
+class VisualizationParameters:
+    assembled_map_voxel_size: float = 0.3
+    submaps_voxel_size: float = 0.3
+    visualize_every_n_msec: float = 300.0
+
+
+@dataclass(frozen=True)
+class GlobalOptimizationParameters:
+    edge_prune_threshold: float = 0.2
+    loop_closure_preference: float = 2.0
+    max_correspondence_distance: float = 1000.0
+    reference_node: int = 0
+    max_iterations: int = 100  # LM iterations (Open3D default criteria)
+
+
+@dataclass(frozen=True)
+class ScanCroppingParameters:
+    cropping_radius_max: float = 30.0
+    cropping_radius_min: float = 2.0
+    min_z: float = -50.0
+    max_z: float = 50.0
+    cropper_type: str = "MinMaxRadius"  # Cylinder | MaxRadius | MinRadius | MinMaxRadius
+
+
+@dataclass(frozen=True)
+class ScanProcessingParameters:
+    voxel_size: float = 0.1
+    downsampling_ratio: float = 0.3
+    scan_cropping: ScanCroppingParameters = field(default_factory=ScanCroppingParameters)
+    # TPU extension: fixed lane capacity of the processed scan.
+    point_capacity: int = 16384
+
+
+@dataclass(frozen=True)
+class IcpParameters:
+    max_correspondence_dist: float = 1.0
+    knn: int = 20
+    max_distance_knn: float = 3.0
+    max_n_iter: int = 50
+
+
+@dataclass(frozen=True)
+class ScanMatchingParameters:
+    icp: IcpParameters = field(default_factory=IcpParameters)
+    cloud_registration_type: str = "GeneralizedIcp"  # | PointToPointIcp | PointToPlaneIcp
+
+
+@dataclass(frozen=True)
+class OdometryParameters:
+    is_publish_odometry_msgs: bool = False
+    scan_matching: ScanMatchingParameters = field(default_factory=ScanMatchingParameters)
+    scan_processing: ScanProcessingParameters = field(default_factory=ScanProcessingParameters)
+
+
+@dataclass(frozen=True)
+class SubmapParameters:
+    submap_size: float = 20.0  # meters
+    min_num_range_data: int = 10
+    adjacency_based_revisiting_min_fitness: float = 0.5
+    submaps_num_scan_overlap: int = 10
+    # TPU extension: per-submap fixed point budget (≙ the reference's implicit
+    # 400k-point budget in SubmapCollection::updateActiveSubmap).
+    point_capacity: int = 131072
+    max_submaps: int = 64
+
+
+@dataclass(frozen=True)
+class SpaceCarvingParameters:
+    voxel_size: float = 0.2
+    max_raytracing_length: float = 20.0
+    truncation_distance: float = 0.3
+    carve_space_every_n_scans: float = 10.0
+
+
+@dataclass(frozen=True)
+class MapBuilderParameters:
+    map_voxel_size: float = 0.1
+    scan_cropping: ScanCroppingParameters = field(default_factory=ScanCroppingParameters)
+    space_carving: SpaceCarvingParameters = field(default_factory=SpaceCarvingParameters)
+
+
+@dataclass(frozen=True)
+class ScanToMapRegistrationParameters:
+    min_refinement_fitness: float = 0.7
+    scan_to_map_refinement_type: str = "PointToPlaneIcp"
+    icp: IcpParameters = field(default_factory=IcpParameters)
+    scan_processing: ScanProcessingParameters = field(default_factory=ScanProcessingParameters)
+    # Production pointmatcher-style chain extras (≙ icp.yaml):
+    trimmed_ratio: float = 0.90
+    normal_max_angle: float = 1.57
+    min_diff_rot: float = 0.001
+    min_diff_trans: float = 0.01
+    smooth_length: int = 3
+    reference_cloud_setting_period: float = 1.0  # sec (Mapper.cpp:349-380)
+    # TPU extension: map-patch capacity fed to the matcher.
+    map_patch_capacity: int = 65536
+
+
+@dataclass(frozen=True)
+class MapperLocalizerParameters:
+    is_print_timing_information: bool = True
+    is_build_dense_map: bool = False
+    is_attempt_loop_closures: bool = True
+    is_use_map_initialization: bool = False
+    is_merge_scans_into_map: bool = False
+    dump_submaps_to_file_before_after_lc: bool = False
+    is_refine_odometry_constraints_between_submaps: bool = False
+    min_movement_between_mapping_steps: float = 0.0
+    ignore_minimum_refinement_fitness: bool = False
+    map_merge_delay_in_seconds: float = 10.0
+    scan_to_map_registration: ScanToMapRegistrationParameters = field(
+        default_factory=ScanToMapRegistrationParameters)
+
+
+@dataclass(frozen=True)
+class Pose6:
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    roll: float = 0.0  # degrees, like the reference's POSE block
+    pitch: float = 0.0
+    yaw: float = 0.0
+
+
+@dataclass(frozen=True)
+class MapInitializerParameters:
+    is_initialize_interactively: bool = False
+    frame_id: str = "map_o3d"
+    pcd_file_path: str = ""
+    init_pose: Pose6 = field(default_factory=Pose6)
+
+
+@dataclass(frozen=True)
+class LoopClosureConsistencyCheckParameters:
+    max_drift_roll: float = 30.0   # deg
+    max_drift_pitch: float = 30.0
+    max_drift_yaw: float = 30.0
+    max_drift_x: float = 80.0      # meters
+    max_drift_y: float = 80.0
+    max_drift_z: float = 40.0
+
+
+@dataclass(frozen=True)
+class PlaceRecognitionParameters:
+    feature_map_normal_estimation_radius: float = 2.0
+    feature_voxel_size: float = 0.5
+    feature_radius: float = 2.5
+    feature_knn: int = 100
+    feature_normal_knn: int = 20
+    ransac_num_iter: int = 10000000
+    ransac_probability: float = 0.999
+    ransac_model_size: int = 3
+    ransac_max_correspondence_dist: float = 0.75
+    ransac_correspondence_checker_distance: float = 0.8
+    ransac_correspondence_checker_edge_length: float = 0.6
+    ransac_min_corresondence_set_size: int = 25
+    max_icp_correspondence_distance: float = 0.3
+    min_icp_refinement_fitness: float = 0.7
+    dump_aligned_place_recognitions_to_file: bool = False
+    min_submaps_between_loop_closures: int = 2
+    loop_closure_search_radius: float = 20.0
+    consistency_check: LoopClosureConsistencyCheckParameters = field(
+        default_factory=LoopClosureConsistencyCheckParameters)
+    # TPU extension: batched-hypothesis RANSAC rounds (fixed shape).
+    ransac_batch_size: int = 4096
+    feature_point_capacity: int = 8192
+
+
+@dataclass(frozen=True)
+class MapperParameters:
+    mapper_localizer: MapperLocalizerParameters = field(default_factory=MapperLocalizerParameters)
+    map_builder: MapBuilderParameters = field(default_factory=MapBuilderParameters)
+    dense_map_builder: MapBuilderParameters = field(default_factory=MapBuilderParameters)
+    submaps: SubmapParameters = field(default_factory=SubmapParameters)
+    global_optimization: GlobalOptimizationParameters = field(
+        default_factory=GlobalOptimizationParameters)
+    place_recognition: PlaceRecognitionParameters = field(
+        default_factory=PlaceRecognitionParameters)
+    map_initializer: MapInitializerParameters = field(default_factory=MapInitializerParameters)
+
+
+@dataclass(frozen=True)
+class SlamParameters:
+    """Root parameter tree (≙ SlamParameters, Parameters.hpp:200-215)."""
+
+    odometry: OdometryParameters = field(default_factory=OdometryParameters)
+    mapper: MapperParameters = field(default_factory=MapperParameters)
+    motion_compensation: MotionCompensationParameters = field(
+        default_factory=MotionCompensationParameters)
+    visualization: VisualizationParameters = field(default_factory=VisualizationParameters)
+    saving: SavingParameters = field(default_factory=SavingParameters)
+
+
+def load_parameters(overrides: Optional[dict] = None) -> SlamParameters:
+    """Build a SlamParameters from defaults + nested dict overrides.
+
+    ≙ io_lua::loadParameters (reference parameter_loaders.cpp:23-30) with
+    strict key verification (LuaLoader.cpp:96-130).
+    """
+    if not overrides:
+        return SlamParameters()
+    return _load(SlamParameters, overrides)
+
+
+def load_parameters_file(path: str) -> SlamParameters:
+    """Load a JSON parameter file, honoring an optional "include" chain:
+    {"include": "base.json", ...overrides} deep-merges onto the base —
+    the analogue of the reference's Lua include/deepcopy inheritance."""
+    import os
+
+    def read(p):
+        with open(p) as f:
+            data = json.load(f)
+        inc = data.pop("include", None)
+        if inc:
+            base = read(os.path.join(os.path.dirname(p), inc))
+            data = _merge(base, data)
+        return data
+
+    return load_parameters(read(path))
+
+
+def to_dict(params) -> dict:
+    return dataclasses.asdict(params)
