@@ -1,0 +1,101 @@
+"""Submaps and their collection: bounded map chunks with lifecycle.
+
+TPU-native equivalent of the reference's submap machinery:
+  - Submap — sparse voxel-mean map + optional dense map + per-submap
+    feature cloud (reference: open3d_slam_rsl/.../src/Submap.cpp:27-288),
+  - SubmapCollection — active-submap selection by proximity/adjacency, new
+    submap on travel distance, scan-overlap replay into new submaps,
+    finished-submap queue -> feature computation -> loop-closure candidates
+    (reference: src/SubmapCollection.cpp:28-409),
+  - AdjacencyMatrix — undirected submap graph with BFS distance to the
+    nearest loop-closure submap (reference: src/AdjacencyMatrix.cpp).
+
+Split of responsibilities (SURVEY.md §7 design stance): lifecycle and graph
+bookkeeping are host-side control flow; the per-scan map fusion and
+cropping run as jitted fixed-shape programs on device (ops.voxel_map).
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import voxel_map
+from ..ops.voxel_map import VoxelMap
+from ..utils import se3
+from ..utils.config import MapperParameters
+from ..utils.pointcloud import PointCloud
+
+
+class AdjacencyMatrix:
+    """Undirected submap graph (host-side; a handful of nodes)."""
+
+    def __init__(self) -> None:
+        self._adj: Dict[int, Set[int]] = {}
+
+    def add_edge(self, a: int, b: int) -> None:
+        self._adj.setdefault(a, set()).add(b)
+        self._adj.setdefault(b, set()).add(a)
+
+    def is_adjacent(self, a: int, b: int) -> bool:
+        return b in self._adj.get(a, ())
+
+    def bfs_distance(self, start: int, targets: Set[int]) -> int:
+        """Graph distance from ``start`` to the nearest node in ``targets``
+        (≙ getDistanceToNearestLoopClosureSubmap, AdjacencyMatrix.cpp:23-54).
+        Returns a large value when unreachable."""
+        if start in targets:
+            return 0
+        seen = {start}
+        frontier = deque([(start, 0)])
+        while frontier:
+            node, d = frontier.popleft()
+            for nb in self._adj.get(node, ()):
+                if nb in targets:
+                    return d + 1
+                if nb not in seen:
+                    seen.add(nb)
+                    frontier.append((nb, d + 1))
+        return 1 << 30
+
+
+@dataclasses.dataclass
+class Submap:
+    """One bounded map chunk.  Device arrays: map_ (VoxelMap), dense_map_,
+    feature cloud + descriptors (filled on finish)."""
+
+    submap_id: int
+    parent_id: int
+    creation_time: float
+    map: VoxelMap
+    dense_map: Optional[VoxelMap] = None
+    # Pose of the submap frame in the map frame; scans are stored in map
+    # frame (like the reference, whose submaps transform rigidly on loop
+    # closure — Submap.cpp:115-128).
+    pose: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4, dtype=np.float32))
+    feature_cloud: Optional[PointCloud] = None
+    features: Optional[jnp.ndarray] = None  # [M, 33] FPFH
+    n_scans: int = 0
+
+    def is_empty(self) -> bool:
+        return self.n_scans == 0
+
+    def center(self) -> np.ndarray:
+        cloud = self.map.cloud
+        mask = np.asarray(cloud.mask)
+        if not mask.any():
+            return self.pose[:3, 3].copy()
+        return np.asarray(cloud.xyz)[mask].mean(axis=0)
+
+    def transform(self, T: np.ndarray) -> None:
+        """Rigidly move every layer (≙ Submap::transform)."""
+        Tj = jnp.asarray(T, jnp.float32)
+        self.map = voxel_map.transform(self.map, Tj)
+        if self.dense_map is not None:
+            self.dense_map = voxel_map.transform(self.dense_map, Tj)
+        if self.feature_cloud is not None:
+            self.feature_cloud = self.feature_cloud.transform(Tj)
+        self.pose = np.asarray(Tj @ jnp.asarray(self.pose))
