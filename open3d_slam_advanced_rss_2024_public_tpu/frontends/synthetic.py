@@ -53,6 +53,38 @@ def corridor_world(key, length: float = 80.0, width: float = 8.0, height: float 
     return PointCloud(xyz=xyz, normals=nrm, mask=mask)
 
 
+def cluttered_world(key, extent: float = 30.0, n_objects: int = 40) -> PointCloud:
+    """Ground plane + randomly sized/rotated boxes, cylinders and spheres —
+    geometry with distinctive local curvature (for place-recognition tests;
+    bare corridors alias badly, which is realistic but untestable)."""
+    keys = jax.random.split(key, n_objects + 2)
+    clouds = []
+    ground = generators.uniform_plane(keys[0], 12000, half_extents=(extent / 2, extent / 2))
+    ground = ground.with_xyz(ground.xyz + jnp.asarray([extent / 2, 0.0, 0.0]))
+    clouds.append(ground)
+    for i in range(n_objects):
+        k1, k2, k3 = jax.random.split(keys[i + 1], 3)
+        kind = int(jax.random.randint(k1, (), 0, 3))
+        size = float(jax.random.uniform(k2, (), minval=0.3, maxval=1.6))
+        pos = jax.random.uniform(k3, (3,), minval=jnp.asarray([1.0, -extent / 2 + 1, 0.2]),
+                                 maxval=jnp.asarray([extent - 1.0, extent / 2 - 1, 2.0]))
+        if kind == 0:
+            he = (size * 0.7, size * 0.4, size)
+            c = generators.uniform_box(k2, 1200, half_extents=he)
+            yaw = float(jax.random.uniform(k1, (), maxval=3.14))
+            R = se3.so3_exp(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+            c = c.with_xyz(c.xyz @ R.T)
+        elif kind == 1:
+            c = generators.uniform_cylinder(k2, 1000, radius=size * 0.4, height=size * 2)
+        else:
+            c = generators.uniform_sphere(k2, 800, radius=size * 0.5)
+        clouds.append(c.with_xyz(c.xyz + pos))
+    xyz = jnp.concatenate([c.xyz for c in clouds], axis=0)
+    nrm = jnp.concatenate([c.normals for c in clouds], axis=0)
+    mask = jnp.concatenate([c.mask for c in clouds], axis=0)
+    return PointCloud(xyz=xyz, normals=nrm, mask=mask)
+
+
 def render_scan(world: PointCloud, sensor_pose: np.ndarray, key,
                 max_range: float = 30.0, min_range: float = 0.5,
                 n_points: int = 8192, noise: float = 0.0) -> PointCloud:

@@ -1,0 +1,280 @@
+"""Sparse pose-graph optimization as a batched Levenberg-Marquardt solve.
+
+TPU-native equivalent of the reference's OptimizationProblem
+(reference: open3d_slam_rsl/.../src/OptimizationProblem.cpp:25-212 —
+builds an Open3D PoseGraph from certain odometry edges + uncertain
+loop-closure edges, solves with GlobalOptimizationLevenbergMarquardt with
+edge pruning/loop-closure preference, returns per-submap transform
+increments).
+
+Design: fixed-capacity edge/node arrays with masks; per-iteration
+residuals + Jacobians are batched over edges (vmap), the normal equations
+assemble with scatter-adds, and uncertain edges carry switchable-constraint
+weights optimized in closed form each iteration — the same line-process
+formulation Open3D's global optimization uses (preference ≙
+loop_closure_preference, pruning ≙ edge_prune_threshold).  The dense 6N x
+6N solve is tiny (N ≤ ~hundreds of submaps) and runs on-device; the edge
+fan-out is where the parallel work is (and what parallel/ shards across
+chips via psum).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import se3
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Constraint:
+    """≙ reference Constraint (Constraint.hpp): relative transform from
+    source submap frame to target submap frame."""
+
+    source_id: int
+    target_id: int
+    # T maps target-frame coordinates into source-frame coordinates:
+    # X_source^-1 X_target ≈ T (measured).
+    T_source_target: np.ndarray
+    information: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(6, dtype=np.float32))
+    is_odometry: bool = True  # certain edge (not prunable)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoseGraphArrays:
+    """Device-side fixed-shape pose graph."""
+
+    node_poses: Array    # f32[N,4,4] initial poses (map frame)
+    node_mask: Array     # bool[N]
+    edge_src: Array      # i32[E]
+    edge_dst: Array      # i32[E]
+    edge_T: Array        # f32[E,4,4] measured relative transforms
+    edge_info: Array     # f32[E,6,6]
+    edge_uncertain: Array  # bool[E] (loop closures: switchable)
+    edge_mask: Array     # bool[E]
+
+
+def build_arrays(node_poses: List[np.ndarray], constraints: List[Constraint],
+                 max_nodes: int, max_edges: int) -> PoseGraphArrays:
+    N, E = max_nodes, max_edges
+    n = len(node_poses)
+    e = len(constraints)
+    if n > N or e > E:
+        raise ValueError(f"pose graph exceeds capacity: {n}/{N} nodes, {e}/{E} edges")
+    poses = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+    if n:
+        poses[:n] = np.stack(node_poses).astype(np.float32)
+    src = np.zeros(E, np.int32)
+    dst = np.zeros(E, np.int32)
+    eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+    info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
+    unc = np.zeros(E, bool)
+    for i, c in enumerate(constraints):
+        src[i] = c.source_id
+        dst[i] = c.target_id
+        eT[i] = np.asarray(c.T_source_target, np.float32)
+        info[i] = np.asarray(c.information, np.float32)
+        unc[i] = not c.is_odometry
+    return PoseGraphArrays(
+        node_poses=jnp.asarray(poses),
+        node_mask=jnp.arange(N) < n,
+        edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst),
+        edge_T=jnp.asarray(eT),
+        edge_info=jnp.asarray(info),
+        edge_uncertain=jnp.asarray(unc),
+        edge_mask=jnp.arange(E) < e,
+    )
+
+
+def _edge_residuals(deltas: Array, graph: PoseGraphArrays) -> Array:
+    """r_e = log( T_meas^-1 · X_src^-1 · X_dst ), X_k = X0_k · exp(delta_k)."""
+    X = graph.node_poses @ se3.se3_exp(deltas)  # [N,4,4]
+    Xi = X[graph.edge_src]
+    Xj = X[graph.edge_dst]
+    rel = se3.inverse(Xi) @ Xj
+    err = se3.inverse(graph.edge_T) @ rel
+    return se3.se3_log(err)  # [E,6]
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def solve(graph: PoseGraphArrays, reference_node: Array,
+          loop_closure_preference: float = 2.0,
+          edge_prune_threshold: float = 0.2,
+          max_iterations: int = 30):
+    """LM with switchable loop-closure weights.
+
+    Returns (optimized_poses f32[N,4,4], switch_weights f32[E], final_cost).
+    The reference node is pinned (≙ GlobalOptimizationOption reference_node).
+    """
+    N = graph.node_poses.shape[0]
+    E = graph.edge_T.shape[0]
+    # Line-process weight scaled by the typical edge information magnitude,
+    # as Open3D's GlobalOptimization does (its line_process_weight is
+    # preference * information scale) — otherwise strongly-weighted but
+    # correct loop closures would be switched off at the first iteration.
+    info_scale = jnp.sum(jnp.where(graph.edge_mask[:, None, None], graph.edge_info, 0.0)
+                         * jnp.eye(6)[None]) / (6.0 * jnp.maximum(
+                             jnp.sum(graph.edge_mask.astype(jnp.float32)), 1.0))
+    phi = jnp.float32(loop_closure_preference) * jnp.maximum(info_scale, 1e-6)
+
+    def step(carry, _):
+        deltas, lam = carry
+        r = _edge_residuals(deltas, graph)  # [E,6]
+        # Switchable-constraint closed-form weights for uncertain edges:
+        # s = (phi / (phi + chi2))^2, certain edges s = 1.
+        chi2 = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+        s = jnp.where(graph.edge_uncertain, (phi / (phi + chi2)) ** 2, 1.0)
+        s = jnp.where(graph.edge_mask, s, 0.0)
+
+        J = jax.jacfwd(lambda d: _edge_residuals(d.reshape(N, 6), graph).reshape(-1))(
+            deltas.reshape(-1))  # [6E, 6N]
+        W = (graph.edge_info * s[:, None, None])
+        # Block-weighted normal equations.
+        Jr = J.reshape(E, 6, N * 6)
+        H = jnp.einsum("eik,eij,ejl->kl", Jr, W, Jr)
+        b = -jnp.einsum("eik,eij,ej->k", Jr, W, r)
+        # Pin the reference node by zeroing its rows/cols and unit diagonal.
+        pin = (jnp.arange(N) == reference_node)
+        pin6 = jnp.repeat(pin, 6)
+        masked_out = jnp.logical_or(pin6, jnp.repeat(jnp.logical_not(graph.node_mask), 6))
+        H = jnp.where(masked_out[:, None] | masked_out[None, :], 0.0, H)
+        H = H + jnp.diag(jnp.where(masked_out, 1.0, lam))
+        b = jnp.where(masked_out, 0.0, b)
+        dx = jnp.linalg.solve(H, b)
+        new_deltas = deltas + dx.reshape(N, 6)
+
+        # LM accept/reject on total weighted cost.
+        def cost(d):
+            rr = _edge_residuals(d, graph)
+            c2 = jnp.einsum("ei,eij,ej->e", rr, graph.edge_info, rr)
+            ss = jnp.where(graph.edge_uncertain, (phi / (phi + c2)) ** 2, 1.0)
+            ss = jnp.where(graph.edge_mask, ss, 0.0)
+            # SC adds a prior pulling s -> 1: phi * (1 - sqrt(s))^2.
+            return jnp.sum(ss * c2) + jnp.sum(
+                jnp.where(graph.edge_uncertain & graph.edge_mask,
+                          phi * (1.0 - jnp.sqrt(ss)) ** 2, 0.0))
+
+        improved = cost(new_deltas) < cost(deltas)
+        deltas = jnp.where(improved, new_deltas, deltas)
+        lam = jnp.where(improved, lam * 0.7, lam * 2.5)
+        return (deltas, lam), None
+
+    deltas0 = jnp.zeros((N, 6), jnp.float32)
+    (deltas, _), _ = jax.lax.scan(step, (deltas0, jnp.float32(1e-4)), None,
+                                  length=max_iterations)
+    X = graph.node_poses @ se3.se3_exp(deltas)
+    r = _edge_residuals(deltas, graph)
+    chi2 = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+    s = jnp.where(graph.edge_uncertain, (phi / (phi + chi2)) ** 2, 1.0)
+    s = jnp.where(graph.edge_mask, s, 0.0)
+    cost = jnp.sum(s * chi2)
+    return X, s, cost
+
+
+class OptimizationProblem:
+    """Host-side wrapper: constraint bookkeeping + solve + increments.
+
+    ≙ reference OptimizationProblem (OptimizationProblem.cpp): odometry
+    constraints are 'certain', loop closures 'uncertain'; after the solve,
+    loop-closure edges whose switch weight fell below edge_prune_threshold
+    count as pruned; getOptimizedTransformIncrements returns dT_i =
+    X_opt_i · X_init_i^-1 per submap (:191-202).
+    """
+
+    def __init__(self, max_nodes: int = 128, max_edges: int = 512):
+        self.max_nodes = max_nodes
+        self.max_edges = max_edges
+        self.odometry_constraints: List[Constraint] = []
+        self.loop_closure_constraints: List[Constraint] = []
+        self.node_poses: List[np.ndarray] = []
+        self.is_ready = False
+        self.last_switch_weights: Optional[np.ndarray] = None
+
+    def insert_odometry_constraints(self, cs: List[Constraint]) -> None:
+        # Dedup by (source,target) like the reference (:177-189).
+        seen = {(c.source_id, c.target_id) for c in self.odometry_constraints}
+        for c in cs:
+            if (c.source_id, c.target_id) not in seen:
+                self.odometry_constraints.append(c)
+                seen.add((c.source_id, c.target_id))
+
+    def insert_loop_closure_constraints(self, cs: List[Constraint]) -> None:
+        for c in cs:
+            self.loop_closure_constraints.append(c)
+
+    def clear_loop_closure_constraints(self) -> None:
+        self.loop_closure_constraints.clear()
+
+    def build(self, node_poses: List[np.ndarray]) -> PoseGraphArrays:
+        """≙ buildOptimizationProblem (:50-121)."""
+        self.node_poses = [np.asarray(p, np.float32) for p in node_poses]
+        return build_arrays(self.node_poses,
+                            self.odometry_constraints + self.loop_closure_constraints,
+                            self.max_nodes, self.max_edges)
+
+    def solve(self, node_poses: List[np.ndarray],
+              loop_closure_preference: float = 2.0,
+              edge_prune_threshold: float = 0.2,
+              reference_node: int = 0,
+              max_iterations: int = 30) -> Dict[int, np.ndarray]:
+        """Solve and return per-node transform increments
+        {node_id: dT} with dT = X_opt · X_init^-1."""
+        graph = self.build(node_poses)
+        X, s, cost = solve(graph, jnp.int32(reference_node),
+                           loop_closure_preference, edge_prune_threshold,
+                           max_iterations=max_iterations)
+        X = np.asarray(X)
+        self.last_switch_weights = np.asarray(s)
+        increments = {}
+        for i, X0 in enumerate(self.node_poses):
+            increments[i] = (X[i] @ np.linalg.inv(X0)).astype(np.float32)
+        self.is_ready = True
+        return increments
+
+    def pruned_loop_closures(self, edge_prune_threshold: float = 0.2) -> List[int]:
+        if self.last_switch_weights is None:
+            return []
+        n_odom = len(self.odometry_constraints)
+        out = []
+        for i in range(len(self.loop_closure_constraints)):
+            if self.last_switch_weights[n_odom + i] < edge_prune_threshold:
+                out.append(i)
+        return out
+
+    # -- persistence (≙ JSON dump/load, OptimizationProblem.cpp:142-149) ----
+
+    def to_dict(self) -> dict:
+        def ser(c: Constraint) -> dict:
+            return {
+                "source": c.source_id, "target": c.target_id,
+                "T": np.asarray(c.T_source_target).tolist(),
+                "information": np.asarray(c.information).tolist(),
+                "is_odometry": c.is_odometry,
+            }
+        return {
+            "odometry_constraints": [ser(c) for c in self.odometry_constraints],
+            "loop_closure_constraints": [ser(c) for c in self.loop_closure_constraints],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, max_nodes: int = 128, max_edges: int = 512):
+        def de(cd: dict) -> Constraint:
+            return Constraint(
+                source_id=cd["source"], target_id=cd["target"],
+                T_source_target=np.asarray(cd["T"], np.float32),
+                information=np.asarray(cd["information"], np.float32),
+                is_odometry=cd["is_odometry"],
+            )
+        out = cls(max_nodes, max_edges)
+        out.odometry_constraints = [de(c) for c in d["odometry_constraints"]]
+        out.loop_closure_constraints = [de(c) for c in d["loop_closure_constraints"]]
+        return out

@@ -1,0 +1,133 @@
+"""Global registration: batched-hypothesis RANSAC over feature matches.
+
+TPU-native equivalent of Open3D's RegistrationRANSACBasedOnFeatureMatching
+as used for loop-closure proposals (reference: open3d_slam_rsl/.../src/
+PlaceRecognition.cpp:79-90 — FPFH correspondences, 3-point model,
+edge-length + distance correspondence checkers, max-iteration/probability
+criteria, min correspondence set size).
+
+Instead of a sequential hypothesize-and-verify loop, all ``batch``
+hypotheses are drawn, solved (closed-form 3-point Umeyama) and scored in
+one fused program — RANSAC as a batched reduction, which is how the trick
+maps to a vector machine.  Equivalent quality at fixed compute: with
+mutual-NN correspondences a few thousand hypotheses dominate Open3D's
+early-exit schedule for these problem sizes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import se3
+from .. import fpfh as fpfh_ops
+
+Array = jax.Array
+
+
+def _kabsch_3pt(src: Array, dst: Array):
+    """Closed-form rigid alignment of 3 point pairs.  src,dst: [B,3,3]."""
+    mu_s = jnp.mean(src, axis=1, keepdims=True)
+    mu_d = jnp.mean(dst, axis=1, keepdims=True)
+    S = jnp.einsum("bki,bkj->bij", dst - mu_d, src - mu_s)
+    U, _, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", U, Vt))
+    C = jnp.broadcast_to(jnp.eye(3), U.shape).at[:, 2, 2].set(det)
+    R = jnp.einsum("bij,bjk,bkl->bil", U, C, Vt)
+    t = mu_d[:, 0, :] - jnp.einsum("bij,bj->bi", R, mu_s[:, 0, :])
+    return R, t
+
+
+@partial(jax.jit, static_argnames=("batch",))
+def ransac_from_correspondences(
+    src_xyz: Array, dst_xyz: Array, corr_src: Array, corr_dst: Array,
+    corr_mask: Array, key,
+    max_correspondence_dist: float = 0.75,
+    checker_distance: float = 0.8,
+    checker_edge_length: float = 0.6,
+    batch: int = 4096,
+):
+    """RANSAC over a precomputed correspondence set.
+
+    corr_src/corr_dst: int32[M] paired indices; corr_mask: bool[M].
+    Returns (T 4x4 src->dst, inlier_count i32, inlier_mask bool[M]).
+    """
+    M = corr_src.shape[0]
+    p = corr_mask.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    picks = jax.random.choice(key, M, shape=(batch, 3), p=p)  # [B,3]
+    a = src_xyz[corr_src[picks]]  # [B,3,3]
+    b = dst_xyz[corr_dst[picks]]
+
+    # Edge-length checker (Open3D CorrespondenceCheckerBasedOnEdgeLength):
+    # corresponding triangle edges must have similar lengths.
+    def edges(x):
+        return jnp.stack([
+            jnp.linalg.norm(x[:, 0] - x[:, 1], axis=-1),
+            jnp.linalg.norm(x[:, 1] - x[:, 2], axis=-1),
+            jnp.linalg.norm(x[:, 2] - x[:, 0], axis=-1),
+        ], axis=-1)
+    ea, eb = edges(a), edges(b)
+    edge_ok = jnp.all(
+        (ea > checker_edge_length * eb) & (eb > checker_edge_length * ea), axis=-1)
+
+    R, t = _kabsch_3pt(a, b)
+    # Distance checker on the sampled points themselves.
+    a_tr = jnp.einsum("bij,bkj->bki", R, a) + t[:, None, :]
+    samp_ok = jnp.all(jnp.linalg.norm(a_tr - b, axis=-1) < checker_distance, axis=-1)
+
+    # Score every hypothesis against the full correspondence set.
+    s_all = src_xyz[corr_src]  # [M,3]
+    d_all = dst_xyz[corr_dst]
+    s_tr = jnp.einsum("bij,mj->bmi", R, s_all) + t[:, None, :]  # [B,M,3]
+    dist = jnp.linalg.norm(s_tr - d_all[None], axis=-1)
+    inlier = (dist < max_correspondence_dist) & corr_mask[None, :]
+    score = jnp.sum(inlier, axis=-1) * (edge_ok & samp_ok)
+    best = jnp.argmax(score)
+    T = se3.make_transform(R[best], t[best])
+    best_inliers = inlier[best]
+    return T, score[best], best_inliers
+
+
+@partial(jax.jit, static_argnames=("batch",))
+def register_features(src_xyz: Array, src_mask: Array, src_feat: Array,
+                      dst_xyz: Array, dst_mask: Array, dst_feat: Array,
+                      key,
+                      max_correspondence_dist: float = 0.75,
+                      checker_distance: float = 0.8,
+                      checker_edge_length: float = 0.6,
+                      batch: int = 4096):
+    """Full pipeline: mutual-NN FPFH correspondences + batched RANSAC.
+
+    Returns (T src->dst, inlier_count, corr_src, corr_dst, inlier_mask).
+    """
+    ab, ok = fpfh_ops.mutual_nearest_correspondences(src_feat, src_mask, dst_feat, dst_mask)
+    corr_src = jnp.arange(src_xyz.shape[0], dtype=jnp.int32)
+    T, n_inliers, inlier_mask = ransac_from_correspondences(
+        src_xyz, dst_xyz, corr_src, ab, ok, key,
+        max_correspondence_dist=max_correspondence_dist,
+        checker_distance=checker_distance,
+        checker_edge_length=checker_edge_length,
+        batch=batch,
+    )
+    return T, n_inliers, corr_src, ab, inlier_mask
+
+
+@jax.jit
+def information_matrix_from_point_clouds(src_xyz: Array, src_mask: Array,
+                                         ref_grid, T: Array, max_dist):
+    """Open3D GetInformationMatrixFromPointClouds equivalent:
+    Sigma = sum over matched points of G G^T with G = [p x | I] rows
+    (reference PlaceRecognition.cpp:148-150 and constraint_builders
+    information matrices)."""
+    from .. import hashgrid
+
+    src = se3.apply(T, src_xyz)
+    idx, d2, found = hashgrid.query_nn(ref_grid, src, src_mask, max_dist)
+    q = ref_grid.points[idx]
+    w = found.astype(jnp.float32)
+    px = se3.skew(q)
+    G = jnp.concatenate([-px, jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), px.shape)], axis=-1)
+    info = jnp.einsum("nij,nik,n->jk", G, G, w)
+    return info, jnp.sum(w)

@@ -92,10 +92,18 @@ def so3_exp(w: Array) -> Array:
 
 
 def so3_log(R: Array) -> Array:
-    """Rotation matrix -> axis-angle vector (theta * unit_axis)."""
+    """Rotation matrix -> axis-angle vector (theta * unit_axis).
+
+    AD-safe: arccos has infinite slope at cos(theta)=±1, so the small-angle
+    region uses a series in (1-cos) with the unsafe branch's inputs masked
+    (double-where trick) — pose-graph Jacobians through this function must
+    not produce NaNs at zero-residual edges.
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    c = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    small = c > 1.0 - 1e-5  # theta < ~4.5e-3
+    c_safe = jnp.where(small, 0.0, c)  # masked input => finite branch grads
+    theta = jnp.arccos(c_safe)
     # Vector part of the skew-symmetric component.
     v = jnp.stack(
         [
@@ -105,10 +113,12 @@ def so3_log(R: Array) -> Array:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    # Near zero: v ~= 2*w. Away from zero: w = theta/(2 sin theta) * v.
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(small, 1.0, sin_theta)))
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - c_safe * c_safe, 1e-12))
+    # Near zero: theta^2 ~= 2(1-c); scale = 1/2 + theta^2/12 = 1/2 + (1-c)/6.
+    scale_series = 0.5 + (1.0 - c) / 6.0 + (1.0 - c) ** 2 * (7.0 / 90.0)
+    scale_exact = theta / (2.0 * sin_theta)
+    scale = jnp.where(small, scale_series, scale_exact)
+    theta = jnp.where(small, jnp.sqrt(jnp.maximum(2.0 * (1.0 - c), 0.0)), theta)
     w = scale[..., None] * v
     # Near pi the vector part degenerates; use diagonal extraction.
     near_pi = theta > (jnp.pi - 1e-3)
