@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pointcloud import PointCloud
-from . import hashgrid
+from . import bruteforce, hashgrid
 
 Array = jax.Array
 
@@ -62,17 +62,13 @@ def compute_fpfh(cloud: PointCloud, radius, k: int = 32, max_per_bucket: int = 3
     ``radius``/``k`` mirror KDTreeSearchParamHybrid(feature_radius,
     feature_knn) in the reference (Submap.cpp:270-274).
     """
-    grid = hashgrid.build(cloud, cell_size=radius, table_size=1 << 14)
-    idx, d2, ok = hashgrid.query_knn(grid, cloud.xyz, cloud.mask, radius, k=k,
-                                     max_per_bucket=max_per_bucket)
-    nbr_xyz = grid.points[idx]
-    nbr_nrm = grid.normals[idx]
+    idx, d2, ok = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, radius, k=k)
+    nbr_xyz = cloud.xyz[idx]
+    nbr_nrm = cloud.normals[idx]
     spfh = _spfh(cloud.xyz, cloud.normals, nbr_xyz, nbr_nrm, ok)  # [N,33]
 
-    # FPFH aggregation: gather neighbor SPFHs (in grid order -> back-map via
-    # perm) and weight by 1/dist.
-    spfh_sorted = spfh[grid.perm]  # SPFH arranged in the grid's sorted order
-    nbr_spfh = spfh_sorted[idx]  # [N,K,33]
+    # FPFH aggregation: gather neighbor SPFHs weighted by 1/dist.
+    nbr_spfh = spfh[idx]  # [N,K,33]
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     self_mask = dist < 1e-6
     w = jnp.where(jnp.logical_and(ok, jnp.logical_not(self_mask)), 1.0 / jnp.maximum(dist, 1e-6), 0.0)

@@ -136,6 +136,29 @@ def _candidate_slots(grid: HashGrid, qkey: Array, max_per_bucket: int) -> tuple[
     return slots.reshape(M, -1), valid.reshape(M, -1)
 
 
+# Row-block size for chunked queries: bounds the materialized candidate
+# tensor to CHUNK x 27K x 3 (a few tens of MB) regardless of query count, so
+# large map-sized queries cannot blow HBM.  Chunks run as a sequential
+# lax.map; each block is still large enough to saturate the VPU.
+_QUERY_CHUNK = 4096
+
+
+def _chunked_over_rows(core, query_xyz: Array, query_mask: Array):
+    """Run ``core(xyz_block, mask_block)`` over row blocks of the queries."""
+    m = query_xyz.shape[0]
+    if m <= _QUERY_CHUNK:
+        return core(query_xyz, query_mask)
+    pad = (-m) % _QUERY_CHUNK
+    xyz = jnp.pad(query_xyz, ((0, pad), (0, 0)), constant_values=SENTINEL)
+    mask = jnp.pad(query_mask, (0, pad))
+    n_chunks = xyz.shape[0] // _QUERY_CHUNK
+    xyz = xyz.reshape(n_chunks, _QUERY_CHUNK, 3)
+    mask = mask.reshape(n_chunks, _QUERY_CHUNK)
+    outs = jax.lax.map(lambda args: core(*args), (xyz, mask))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((n_chunks * _QUERY_CHUNK,) + o.shape[2:])[:m], outs)
+
+
 @partial(jax.jit, static_argnames=("max_per_bucket",))
 def query_nn(grid: HashGrid, query_xyz: Array, query_mask: Array, max_dist,
              max_per_bucket: int = 32):
@@ -150,16 +173,20 @@ def query_nn(grid: HashGrid, query_xyz: Array, query_mask: Array, max_dist,
     guaranteed to find the true NN when cell >= max_dist and the NN's bucket
     holds <= max_per_bucket points.
     """
-    qkey = voxel_key(query_xyz, grid.cell)
-    slots, valid = _candidate_slots(grid, qkey, max_per_bucket)  # [M, 27K]
-    cand = grid.points[slots]  # [M, 27K, 3]
-    d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
-    best = jnp.argmin(d2, axis=-1)
-    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    found = jnp.logical_and(query_mask, best_d2 <= jnp.asarray(max_dist) ** 2)
-    index = jnp.take_along_axis(slots, best[:, None], axis=-1)[:, 0]
-    return index, best_d2, found
+
+    def core(qxyz, qmask):
+        qkey = voxel_key(qxyz, grid.cell)
+        slots, valid = _candidate_slots(grid, qkey, max_per_bucket)  # [M, 27K]
+        cand = grid.points[slots]  # [M, 27K, 3]
+        d2 = jnp.sum((cand - qxyz[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+        found = jnp.logical_and(qmask, best_d2 <= jnp.asarray(max_dist) ** 2)
+        index = jnp.take_along_axis(slots, best[:, None], axis=-1)[:, 0]
+        return index, best_d2, found
+
+    return _chunked_over_rows(core, query_xyz, query_mask)
 
 
 @partial(jax.jit, static_argnames=("k", "max_per_bucket"))
@@ -170,28 +197,36 @@ def query_knn(grid: HashGrid, query_xyz: Array, query_mask: Array, max_dist,
     Returns (indices int32[M,k] into sorted arrays, sq_dists f32[M,k],
     valid bool[M,k]).
     """
-    qkey = voxel_key(query_xyz, grid.cell)
-    slots, valid = _candidate_slots(grid, qkey, max_per_bucket)
-    cand = grid.points[slots]
-    d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
-    neg_top, top_idx = jax.lax.top_k(-d2, k)  # top_k of negated = k smallest
-    kd2 = -neg_top
-    kslots = jnp.take_along_axis(slots, top_idx, axis=-1)
-    ok = jnp.logical_and(query_mask[:, None], kd2 <= jnp.asarray(max_dist) ** 2)
-    return kslots, kd2, ok
+
+    def core(qxyz, qmask):
+        qkey = voxel_key(qxyz, grid.cell)
+        slots, valid = _candidate_slots(grid, qkey, max_per_bucket)
+        cand = grid.points[slots]
+        d2 = jnp.sum((cand - qxyz[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        neg_top, top_idx = jax.lax.top_k(-d2, k)  # top_k of negated = k smallest
+        kd2 = -neg_top
+        kslots = jnp.take_along_axis(slots, top_idx, axis=-1)
+        ok = jnp.logical_and(qmask[:, None], kd2 <= jnp.asarray(max_dist) ** 2)
+        return kslots, kd2, ok
+
+    return _chunked_over_rows(core, query_xyz, query_mask)
 
 
 @partial(jax.jit, static_argnames=("max_per_bucket",))
 def query_radius_count(grid: HashGrid, query_xyz: Array, query_mask: Array, radius,
                        max_per_bucket: int = 32) -> Array:
     """Number of grid points within ``radius`` of each query point."""
-    qkey = voxel_key(query_xyz, grid.cell)
-    slots, valid = _candidate_slots(grid, qkey, max_per_bucket)
-    cand = grid.points[slots]
-    d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
-    within = jnp.logical_and(valid, d2 <= jnp.asarray(radius) ** 2)
-    return jnp.where(query_mask, jnp.sum(within, axis=-1), 0)
+
+    def core(qxyz, qmask):
+        qkey = voxel_key(qxyz, grid.cell)
+        slots, valid = _candidate_slots(grid, qkey, max_per_bucket)
+        cand = grid.points[slots]
+        d2 = jnp.sum((cand - qxyz[:, None, :]) ** 2, axis=-1)
+        within = jnp.logical_and(valid, d2 <= jnp.asarray(radius) ** 2)
+        return jnp.where(qmask, jnp.sum(within, axis=-1), 0)
+
+    return _chunked_over_rows(core, query_xyz, query_mask)
 
 
 def occupied_voxel_lookup(grid: HashGrid, query_xyz: Array, query_mask: Array) -> Array:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pointcloud import PointCloud
-from . import hashgrid
+from . import bruteforce, hashgrid
 
 Array = jax.Array
 
@@ -72,10 +72,8 @@ def estimate_normals(cloud: PointCloud, radius, k: int = 16,
     reference orients toward the sensor).
     Points with < min_neighbors stay with zero normals.
     """
-    grid = hashgrid.build(cloud, cell_size=radius, table_size=1 << 14)
-    idx, d2, ok = hashgrid.query_knn(grid, cloud.xyz, cloud.mask, radius, k=k,
-                                     max_per_bucket=max_per_bucket)
-    nbr = grid.points[idx]  # [N, k, 3]
+    idx, d2, ok = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, radius, k=k)
+    nbr = cloud.xyz[idx]  # [N, k, 3]
     w = ok.astype(jnp.float32)[..., None]
     cnt = jnp.sum(w, axis=-2)
     mean = jnp.sum(nbr * w, axis=-2) / jnp.maximum(cnt, 1.0)
@@ -102,10 +100,8 @@ def surface_descriptors(cloud: PointCloud, radius, k: int = 16,
     the SamplingSurfaceNormal filter family.)
     Returns f32[N, 3] = (linearity, planarity, curvature).
     """
-    grid = hashgrid.build(cloud, cell_size=radius, table_size=1 << 14)
-    idx, d2, ok = hashgrid.query_knn(grid, cloud.xyz, cloud.mask, radius, k=k,
-                                     max_per_bucket=max_per_bucket)
-    nbr = grid.points[idx]
+    idx, d2, ok = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, radius, k=k)
+    nbr = cloud.xyz[idx]
     w = ok.astype(jnp.float32)[..., None]
     cnt = jnp.sum(w, axis=-2)
     mean = jnp.sum(nbr * w, axis=-2) / jnp.maximum(cnt, 1.0)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ...utils import se3
 from ...utils.pointcloud import PointCloud
-from .. import hashgrid
+from .. import bruteforce, hashgrid
 from . import minimizers, outliers
 
 Array = jax.Array
@@ -57,6 +57,10 @@ class ICPConfig:
     robust_k: float = 0.5
     max_per_bucket: int = 32
     damping: float = 1e-6
+    # Correspondence engine: "bruteforce" (MXU-tiled exact NN — ~500x faster
+    # on TPU for in-submap sizes, see ops/bruteforce.py) or "hashgrid"
+    # (voxel-hash probe — for maps too large to sweep densely).
+    matcher: str = "bruteforce"
 
 
 @jax.tree_util.register_dataclass
@@ -101,10 +105,20 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
         T, it, ring, _, _, _ = carry
         src = se3.apply(T, source.xyz)
         src_nrm = se3.rotate(T, source.normals)
-        idx, d2, found = hashgrid.query_nn(
-            ref_grid, src, source.mask, cfg.max_correspondence_dist,
-            max_per_bucket=cfg.max_per_bucket,
-        )
+        if cfg.matcher == "pallas":
+            from .. import pallas_nn
+
+            idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
+            found = jnp.logical_and(source.mask,
+                                    d2 <= cfg.max_correspondence_dist**2)
+        elif cfg.matcher == "bruteforce":
+            idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
+                                           cfg.max_correspondence_dist)
+        else:
+            idx, d2, found = hashgrid.query_nn(
+                ref_grid, src, source.mask, cfg.max_correspondence_dist,
+                max_per_bucket=cfg.max_per_bucket,
+            )
         ref_pts = ref_grid.points[idx]
         ref_nrm = ref_grid.normals[idx]
         w = _weights(cfg, d2, found, src_nrm, ref_nrm)
@@ -186,8 +200,7 @@ def evaluate_registration(source: PointCloud, target_grid: hashgrid.HashGrid,
     fitness gates — PlaceRecognition.cpp:117-121.)
     """
     src = se3.apply(T, source.xyz)
-    _, d2, found = hashgrid.query_nn(target_grid, src, source.mask, max_dist,
-                                     max_per_bucket=max_per_bucket)
+    _, d2, found = bruteforce.nn(src, source.mask, target_grid.points, max_dist)
     n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(found.astype(jnp.float32)) / n_valid
     inlier_sq = jnp.sum(jnp.where(found, d2, 0.0)) / jnp.maximum(jnp.sum(found.astype(jnp.float32)), 1.0)

@@ -1,0 +1,104 @@
+"""Distributed pose-graph solve: edges sharded, normal equations psum-reduced.
+
+The reference's pose-graph backend is a single-threaded Open3D LM solve
+(reference OptimizationProblem.cpp:25-44; SURVEY.md §2.6 maps it to a
+distributed Schur-style reduction).  Here the edge set — where all the
+residual/Jacobian work is — is sharded across the mesh's data axis; each
+device assembles its shard's contribution to the 6N x 6N normal equations
+and `psum` reduces H and b over ICI.  The (small, dense) solve and the
+state update run replicated, so per-iteration communication is exactly one
+all-reduce of H/b.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..models.pose_graph import PoseGraphArrays, _edge_residuals
+from ..utils import se3
+from .mesh import DATA_AXIS
+
+Array = jax.Array
+
+
+def make_distributed_solver(mesh: Mesh, max_nodes: int, max_iterations: int = 30):
+    """Build a jitted distributed LM solver for graphs padded to max_nodes
+    nodes (edge capacity = whatever the arrays carry, divisible by the mesh
+    size)."""
+    N = max_nodes
+
+    def _edge_block(deltas, poses, e_src, e_dst, e_T, e_info, e_unc, e_mask, phi):
+        """Residual + dense Jacobian + weighted partial H,b for an edge shard."""
+        X = poses @ se3.se3_exp(deltas)
+
+        def residual_of(d_flat):
+            Xl = poses @ se3.se3_exp(d_flat.reshape(N, 6))
+            rel = se3.inverse(Xl[e_src]) @ Xl[e_dst]
+            return se3.se3_log(se3.inverse(e_T) @ rel).reshape(-1)
+
+        r = residual_of(deltas.reshape(-1)).reshape(-1, 6)
+        chi2 = jnp.einsum("ei,eij,ej->e", r, e_info, r)
+        s = jnp.where(e_unc, (phi / (phi + chi2)) ** 2, 1.0)
+        s = jnp.where(e_mask, s, 0.0)
+        J = jax.jacfwd(residual_of)(deltas.reshape(-1))  # [6e, 6N]
+        E = e_T.shape[0]
+        Jr = J.reshape(E, 6, N * 6)
+        W = e_info * s[:, None, None]
+        H_part = jnp.einsum("eik,eij,ejl->kl", Jr, W, Jr)
+        b_part = -jnp.einsum("eik,eij,ej->k", Jr, W, r)
+        cost_part = jnp.sum(s * chi2) + jnp.sum(
+            jnp.where(e_unc & e_mask, phi * (1.0 - jnp.sqrt(s)) ** 2, 0.0))
+        return (jax.lax.psum(H_part, DATA_AXIS),
+                jax.lax.psum(b_part, DATA_AXIS),
+                jax.lax.psum(cost_part, DATA_AXIS))
+
+    sharded_block = shard_map(
+        _edge_block, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+
+    @jax.jit
+    def solve(graph: PoseGraphArrays, reference_node: Array,
+              loop_closure_preference: Array):
+        info_scale = jnp.sum(
+            jnp.where(graph.edge_mask[:, None, None], graph.edge_info, 0.0)
+            * jnp.eye(6)[None]) / (6.0 * jnp.maximum(
+                jnp.sum(graph.edge_mask.astype(jnp.float32)), 1.0))
+        phi = loop_closure_preference * jnp.maximum(info_scale, 1e-6)
+
+        pin = (jnp.arange(N) == reference_node)
+        masked_out = jnp.repeat(jnp.logical_or(pin, jnp.logical_not(graph.node_mask)), 6)
+
+        def step(carry, _):
+            deltas, lam, prev_cost = carry
+            H, b, cost = sharded_block(deltas, graph.node_poses, graph.edge_src,
+                                       graph.edge_dst, graph.edge_T, graph.edge_info,
+                                       graph.edge_uncertain, graph.edge_mask, phi)
+            Hm = jnp.where(masked_out[:, None] | masked_out[None, :], 0.0, H)
+            Hm = Hm + jnp.diag(jnp.where(masked_out, 1.0, lam))
+            bm = jnp.where(masked_out, 0.0, b)
+            dx = jnp.linalg.solve(Hm, bm)
+            new_deltas = deltas + dx.reshape(N, 6)
+            _, _, new_cost = sharded_block(new_deltas, graph.node_poses,
+                                           graph.edge_src, graph.edge_dst,
+                                           graph.edge_T, graph.edge_info,
+                                           graph.edge_uncertain, graph.edge_mask, phi)
+            improved = new_cost < cost
+            deltas = jnp.where(improved, new_deltas, deltas)
+            lam = jnp.where(improved, lam * 0.7, lam * 2.5)
+            return (deltas, lam, new_cost), cost
+
+        deltas0 = jnp.zeros((N, 6), jnp.float32)
+        (deltas, _, _), costs = jax.lax.scan(
+            step, (deltas0, jnp.float32(1e-4), jnp.float32(jnp.inf)),
+            None, length=max_iterations)
+        X = graph.node_poses @ se3.se3_exp(deltas)
+        return X, costs[-1]
+
+    return solve

@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from open3d_slam_advanced_rss_2024_public_tpu.frontends import synthetic
+from open3d_slam_advanced_rss_2024_public_tpu.ops import hashgrid
+from open3d_slam_advanced_rss_2024_public_tpu.ops.registration import ICPConfig, register
+from open3d_slam_advanced_rss_2024_public_tpu.parallel import make_mesh
+from open3d_slam_advanced_rss_2024_public_tpu.parallel.sharded_icp import make_sharded_register
+from open3d_slam_advanced_rss_2024_public_tpu.parallel.distributed_pose_graph import (
+    make_distributed_solver)
+from open3d_slam_advanced_rss_2024_public_tpu.models import pose_graph as pg
+from open3d_slam_advanced_rss_2024_public_tpu.utils import se3
+
+requires_multi = pytest.mark.skipif(len(jax.devices()) < 2,
+                                    reason="needs multiple devices")
+
+
+@requires_multi
+def test_sharded_icp_matches_single_device():
+    mesh = make_mesh()
+    world = synthetic.cluttered_world(jax.random.PRNGKey(4), extent=20.0, n_objects=25)
+    pose_T = np.eye(4, dtype=np.float32)
+    pose_T[:3, 3] = [8.0, 0.0, 1.0]
+    ref = synthetic.render_scan(world, pose_T, jax.random.PRNGKey(0), n_points=8192,
+                                max_range=15.0)
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import normals as n_ops
+    ref = n_ops.estimate_normals(ref, radius=0.6, k=16)
+    T_true = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.asarray([0.0, 0.0, 0.03], jnp.float32)),
+        jnp.asarray([0.12, -0.08, 0.02], jnp.float32)))
+    src = ref.transform(se3.inverse(jnp.asarray(T_true)))
+
+    cfg = ICPConfig(max_iterations=20)
+    grid = hashgrid.build(ref, cfg.max_correspondence_dist)
+    res_single = register(src, grid, jnp.eye(4), cfg)
+    sharded = make_sharded_register(mesh, cfg)
+    res_sharded = sharded(src, grid, jnp.eye(4))
+
+    dT = np.asarray(se3.compose(se3.inverse(res_sharded.transform),
+                                jnp.asarray(T_true)))
+    assert float(se3.rotation_angle(jnp.asarray(dT))) < 0.01
+    assert np.linalg.norm(dT[:3, 3]) < 0.03
+    # Sharded and single-device agree closely (trimmed threshold is
+    # approximated distributively, so not bitwise).
+    d_vs_single = np.asarray(se3.compose(se3.inverse(res_single.transform),
+                                         res_sharded.transform))
+    assert np.linalg.norm(d_vs_single[:3, 3]) < 0.02
+
+
+@requires_multi
+def test_distributed_pose_graph_matches_host_solver():
+    mesh = make_mesh()
+
+    def pose(x=0.0, y=0.0, yaw=0.0):
+        return np.asarray(se3.make_transform(
+            se3.so3_exp(jnp.asarray([0.0, 0.0, yaw], jnp.float32)),
+            jnp.asarray([x, y, 0.0], jnp.float32)), dtype=np.float32)
+
+    def rel(a, b):
+        return (np.linalg.inv(a.astype(np.float64)) @ b.astype(np.float64)).astype(np.float32)
+
+    gt = [pose(0, 0, 0), pose(4, 0, np.pi / 2), pose(4, 4, np.pi),
+          pose(0, 4, -np.pi / 2), pose(0, 0.4, 0)]
+    drift = pose(0.1, 0.04, 0.02)
+    est = [gt[0]]
+    cs = []
+    for i in range(1, 5):
+        m = rel(gt[i - 1], gt[i]) @ drift
+        est.append((est[-1] @ m).astype(np.float32))
+        cs.append(pg.Constraint(i - 1, i, m, np.eye(6, dtype=np.float32) * 100.0, True))
+    cs.append(pg.Constraint(4, 0, rel(gt[4], gt[0]),
+                            np.eye(6, dtype=np.float32) * 100.0, False))
+    # Edge capacity divisible by 8 devices.
+    graph = pg.build_arrays(est, cs, max_nodes=8, max_edges=16)
+    solver = make_distributed_solver(mesh, max_nodes=8, max_iterations=30)
+    X_dist, cost = solver(graph, jnp.int32(0), jnp.float32(2.0))
+    X_host, s, _ = pg.solve(graph, jnp.int32(0), 2.0, 0.2, max_iterations=30)
+    np.testing.assert_allclose(np.asarray(X_dist)[:5], np.asarray(X_host)[:5],
+                               atol=5e-3)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
