@@ -48,7 +48,7 @@ _IDX_BITS = 11  # 2^11 = TP lane indices packed into the mantissa
 _IDX_MASK = (1 << _IDX_BITS) - 1
 
 
-def _nn_kernel(q_ref, pt_ref, idx_ref, d2_ref):
+def _nn_kernel(q_ref, pt_ref, aabb_ref, idx_ref, d2_ref):
     n = pt_ref.shape[1]
     n_tiles = n // TP
     q = q_ref[:]  # [TQ, 8]
@@ -56,32 +56,71 @@ def _nn_kernel(q_ref, pt_ref, idx_ref, d2_ref):
     q_lo = q - q_hi
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, TP), 1)
+    # This query tile's AABB (pads use edge mode in the wrapper, so the box
+    # stays tight).
+    q_min = jnp.min(q[:, :3], axis=0, keepdims=True)  # [1, 3]
+    q_max = jnp.max(q[:, :3], axis=0, keepdims=True)
 
-    def tile(jt, carry):
-        best_packed, best_tile = carry
-        pc = pt_ref[:, pl.ds(jt * TP, TP)]  # [8, TP]
-        pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
-        pc_lo = pc - pc_hi
-        f32 = jnp.float32
-        dot = (jnp.dot(q_hi, pc_hi, preferred_element_type=f32)
-               + jnp.dot(q_hi, pc_lo, preferred_element_type=f32)
-               + jnp.dot(q_lo, pc_hi, preferred_element_type=f32))  # [TQ, TP]
-        p2 = jnp.sum(pc * pc, axis=0, keepdims=True)  # [1, TP]
-        d2 = jnp.maximum(q2 + p2 - 2.0 * dot, 0.0)
-        # +1.0 bias keeps the float normal (a zero-distance self-match packs
-        # to a denormal whose mantissa — the index! — gets flushed to zero on
-        # the VPU); ordering is preserved, exact d2 is recomputed outside.
-        bits = pltpu.bitcast(d2 + 1.0, jnp.int32)
-        packed = pltpu.bitcast((bits & ~_IDX_MASK) | lane, jnp.float32)
-        tile_best = jnp.min(packed, axis=1)  # [TQ]
-        better = tile_best < best_packed
-        best_packed = jnp.where(better, tile_best, best_packed)
-        best_tile = jnp.where(better, jt, best_tile)
-        return best_packed, best_tile
+    def visit(jt, carry):
+        best_packed, best_tile, worst = carry
+        # Block-sparse skip: lower-bound distance between this query tile's
+        # AABB and the p-tile's AABB; when it exceeds the worst current best
+        # among the tile's queries, the whole p-tile cannot improve anything
+        # (the kd-tree branch-and-bound insight, applied per 2048-point
+        # tile).  Spatially sorted inputs (voxel-fused clouds are lex-sorted
+        # by construction) make most tiles skippable.
+        box = aabb_ref[pl.ds(jt, 1), :]  # [1, 8] = (min xyz, max xyz, pad)
+        p_min = box[:, 0:3]
+        p_max = box[:, 3:6]
+        gap = jnp.maximum(jnp.maximum(q_min - p_max, p_min - q_max), 0.0)
+        lb2 = jnp.sum(gap * gap)  # scalar
+        # worst is the biased-packed worst best (= worst_d2 + 1 up to 2^-12);
+        # the 1.001 factor absorbs the packing truncation conservatively.
+        skip = (lb2 + 1.0) > worst * 1.001
+
+        def process(carry):
+            best_packed, best_tile, _ = carry
+            pc = pt_ref[:, pl.ds(jt * TP, TP)]  # [8, TP]
+            pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
+            pc_lo = pc - pc_hi
+            f32 = jnp.float32
+            dot = (jnp.dot(q_hi, pc_hi, preferred_element_type=f32)
+                   + jnp.dot(q_hi, pc_lo, preferred_element_type=f32)
+                   + jnp.dot(q_lo, pc_hi, preferred_element_type=f32))  # [TQ, TP]
+            p2 = jnp.sum(pc * pc, axis=0, keepdims=True)  # [1, TP]
+            d2 = jnp.maximum(q2 + p2 - 2.0 * dot, 0.0)
+            # +1.0 bias keeps the float normal (a zero-distance self-match
+            # packs to a denormal whose mantissa — the index! — gets flushed
+            # to zero on the VPU); ordering is preserved, exact d2 is
+            # recomputed outside.
+            bits = pltpu.bitcast(d2 + 1.0, jnp.int32)
+            packed = pltpu.bitcast((bits & ~_IDX_MASK) | lane, jnp.float32)
+            tile_best = jnp.min(packed, axis=1)  # [TQ]
+            better = tile_best < best_packed
+            best_packed = jnp.where(better, tile_best, best_packed)
+            best_tile = jnp.where(better, jt, best_tile)
+            return best_packed, best_tile, jnp.max(best_packed)
+
+        return jax.lax.cond(skip, lambda c: c, process,
+                            (best_packed, best_tile, worst))
+
+    i = pl.program_id(0)
+    nq = pl.num_programs(0)
+    center = (i * n_tiles) // nq
+
+    def body(s, carry):
+        # Visit tiles diagonal-outward: sorted queries against sorted refs
+        # put the true neighbors near the proportional tile index, so the
+        # best distances shrink early and later tiles skip.
+        mag = (s + 1) // 2
+        off = jnp.where(s % 2 == 1, mag, -mag)
+        jt = jax.lax.rem(center + off + n_tiles, n_tiles)
+        return visit(jt, carry)
 
     init = (jnp.full((TQ,), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((TQ,), dtype=jnp.int32))
-    best_packed, best_tile = jax.lax.fori_loop(0, n_tiles, tile, init)
+            jnp.zeros((TQ,), dtype=jnp.int32),
+            jnp.float32(jnp.inf))
+    best_packed, best_tile, _ = jax.lax.fori_loop(0, n_tiles, body, init)
     pbits = pltpu.bitcast(best_packed.reshape(1, TQ), jnp.int32)  # bitcast needs 2D
     lane_idx = pbits & _IDX_MASK
     d2_trunc = pltpu.bitcast(pbits & ~_IDX_MASK, jnp.float32)
@@ -93,12 +132,21 @@ def _nn_block(q: Array, p_t: Array, interpret: bool):
     """q f32[M,8] (M % TQ == 0), p_t f32[8,N] (N % TP == 0, N <= N_MAX)."""
     M = q.shape[0]
     N = p_t.shape[1]
+    n_tiles = N // TP
+    # Per-p-tile AABBs for the kernel's branch-and-bound skip.
+    tiles = p_t[:3].reshape(3, n_tiles, TP)
+    aabb = jnp.concatenate([
+        jnp.min(tiles, axis=2).T,  # [n_tiles, 3]
+        jnp.max(tiles, axis=2).T,
+        jnp.zeros((n_tiles, 2), jnp.float32),
+    ], axis=1)  # [n_tiles, 8]
     return pl.pallas_call(
         _nn_kernel,
         grid=(M // TQ,),
         in_specs=[
             pl.BlockSpec((TQ, _PAD_K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_PAD_K, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -113,7 +161,7 @@ def _nn_block(q: Array, p_t: Array, interpret: bool):
             bytes_accessed=(M + N) * _PAD_K * 4 + M * 8,
             transcendentals=0),
         interpret=interpret,
-    )(q, p_t)
+    )(q, p_t, aabb)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -126,7 +174,10 @@ def nn_pallas(query_xyz: Array, ref_xyz: Array, interpret: bool = False):
     """
     m, n = query_xyz.shape[0], ref_xyz.shape[0]
     pad_m = (-m) % TQ
-    q = jnp.pad(query_xyz.astype(jnp.float32), ((0, pad_m), (0, _PAD_K - 3)))
+    # Row pads replicate the last query (edge mode) so query-tile AABBs stay
+    # tight for the kernel's tile-skipping bound.
+    q = jnp.pad(query_xyz.astype(jnp.float32), ((0, pad_m), (0, 0)), mode="edge")
+    q = jnp.pad(q, ((0, 0), (0, _PAD_K - 3)))
     # K-dim pad participates in the dot -> zeros; ROW pad must be far away
     # so pad refs never win the argmin (but small enough not to overflow).
     p = jnp.pad(ref_xyz.astype(jnp.float32), ((0, 0), (0, _PAD_K - 3)))
