@@ -34,18 +34,23 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import filters
+
     N_SRC, N_MAP = 8192, 65536
     key = jax.random.PRNGKey(0)
     world = synthetic.cluttered_world(key, extent=30.0, n_objects=40)
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = [12.0, 0.0, 1.0]
-    ref = synthetic.render_scan(world, pose, jax.random.PRNGKey(1), n_points=N_MAP,
+    ref = synthetic.render_scan(world, pose, jax.random.PRNGKey(1), n_points=N_MAP + 8192,
                                 max_range=25.0, noise=0.003)
+    # Voxel fusion keeps map clouds lex-sorted by voxel — the layout the
+    # Pallas matcher's tile skipping exploits (same as production patches).
+    ref = filters.voxel_downsample(ref, 0.05, capacity=N_MAP)
     ref = normals.estimate_normals(ref, radius=0.6, k=16)
-    grid = hashgrid.build(ref, 0.5, table_size=1 << 15)
+    grid = hashgrid.passthrough(ref, 0.5)
 
     src = compact(ref, N_SRC)
-    cfg = ICPConfig(max_iterations=15)
+    cfg = ICPConfig(max_iterations=15, matcher="pallas")
 
     # Realistic per-frame initial-guess error (odometry-prior scale).
     T_err = np.asarray(se3.make_transform(

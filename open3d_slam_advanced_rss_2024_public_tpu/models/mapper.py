@@ -35,6 +35,15 @@ from . import scan_processing
 from .submap_collection import SubmapCollection
 
 
+def resolve_matcher(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+
+    platform = jax.devices()[0].platform
+    return "pallas" if platform not in ("cpu", "gpu") else "bruteforce"
+
+
 def icp_config_from_params(params: SlamParameters) -> ICPConfig:
     reg = params.mapper.mapper_localizer.scan_to_map_registration
     minimizer = {
@@ -43,6 +52,7 @@ def icp_config_from_params(params: SlamParameters) -> ICPConfig:
         "GeneralizedIcp": "point_to_plane",  # GICP maps to plane metric v1
     }[reg.scan_to_map_refinement_type]
     return ICPConfig(
+        matcher=resolve_matcher(reg.matcher),
         max_iterations=reg.icp.max_n_iter,
         max_correspondence_dist=reg.icp.max_correspondence_dist,
         trimmed_ratio=reg.trimmed_ratio,
@@ -137,6 +147,7 @@ class Mapper:
             min_radius=0.0, max_radius=crop.cropping_radius_max,
             match_dist=self.icp_cfg.max_correspondence_dist,
             capacity=ml.map_patch_capacity,
+            build_hash=(self.icp_cfg.matcher == "hashgrid"),
         )
         self.ref_grid = grid
         self.last_reference_init_time = time

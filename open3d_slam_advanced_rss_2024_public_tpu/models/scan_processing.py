@@ -73,10 +73,11 @@ def narrow_crop(cloud: PointCloud, min_radius, max_radius) -> PointCloud:
     return cloud.with_mask(c.contains(cloud.xyz))
 
 
-@partial(jax.jit, static_argnames=("capacity", "table_size"))
+@partial(jax.jit, static_argnames=("capacity", "table_size", "build_hash"))
 def crop_submap_and_index(map_cloud: PointCloud, robot_position: Array,
                           min_radius, max_radius, match_dist,
-                          capacity: int, table_size: int = 1 << 15):
+                          capacity: int, table_size: int = 1 << 15,
+                          build_hash: bool = True):
     """Crop the active submap around the robot and build the matcher grid.
 
     ≙ ScanToMapIcp::cropSubmap (ScanToMapRegistration.cpp:90-96) followed by
@@ -92,5 +93,10 @@ def crop_submap_and_index(map_cloud: PointCloud, robot_position: Array,
     from ..utils.pointcloud import compact
 
     patch = compact(patch, capacity)
-    grid = hashgrid.build(patch, cell_size=match_dist, table_size=table_size)
+    if build_hash:
+        grid = hashgrid.build(patch, cell_size=match_dist, table_size=table_size)
+    else:
+        # Brute-force/Pallas matchers: keep the patch's voxel-lex order (the
+        # tile-skipping kernel exploits the spatial coherence).
+        grid = hashgrid.passthrough(patch, match_dist)
     return patch, grid

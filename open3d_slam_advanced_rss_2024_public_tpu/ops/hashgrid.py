@@ -83,6 +83,24 @@ class HashGrid:
         return self.start.shape[0]
 
 
+def passthrough(cloud: PointCloud, cell_size) -> HashGrid:
+    """A HashGrid carrying the cloud in its ORIGINAL order with no CSR index.
+
+    For the brute-force / Pallas matchers, which only read points/normals
+    and benefit from preserving the voxel-lex spatial order (tile-skipping
+    locality); the CSR fields are empty and MUST NOT be queried.
+    """
+    n = cloud.capacity
+    return HashGrid(
+        points=cloud.xyz,
+        normals=cloud.normals,
+        perm=jnp.arange(n, dtype=jnp.int32),
+        start=jnp.zeros((1,), jnp.int32),
+        count=jnp.zeros((1,), jnp.int32),
+        cell=jnp.asarray(cell_size, jnp.float32),
+    )
+
+
 def build(cloud: PointCloud, cell_size, table_size: int = 1 << 14) -> HashGrid:
     """Build the index. table_size must be a power of two."""
     assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"

@@ -176,6 +176,9 @@ class ScanToMapRegistrationParameters:
     reference_cloud_setting_period: float = 1.0  # sec (Mapper.cpp:349-380)
     # TPU extension: map-patch capacity fed to the matcher.
     map_patch_capacity: int = 65536
+    # Correspondence engine: auto = Pallas kernel on TPU, XLA brute force
+    # elsewhere; or force "pallas" | "bruteforce" | "hashgrid".
+    matcher: str = "auto"
 
 
 @dataclass(frozen=True)
