@@ -22,8 +22,11 @@ from .replay import ReplayFrame
 
 
 def read_velodyne_bin(path: str, capacity: Optional[int] = None) -> PointCloud:
-    """KITTI velodyne scan: float32 x,y,z,reflectance records."""
-    data = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    """KITTI velodyne scan: float32 x,y,z,reflectance records (decoded by
+    the native mmap reader when built)."""
+    from .. import native
+
+    data = native.decode_f32_file(path).reshape(-1, 4)
     return make_cloud(data[:, :3], capacity=capacity)
 
 

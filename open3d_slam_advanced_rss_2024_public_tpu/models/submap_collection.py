@@ -99,6 +99,24 @@ class SubmapCollection:
         else:
             self._create_new_submap(map_to_range_sensor, time)
 
+    def _maybe_carve(self, scan_map_frame: PointCloud,
+                     map_to_range_sensor: np.ndarray) -> None:
+        """Ray-cast space carving on the active submap every N scans
+        (≙ Submap::insertScan carving branch, Submap.cpp:56-80)."""
+        mb = self.params.map_builder
+        if not mb.is_carving_enabled:
+            return
+        every = max(int(mb.space_carving.carve_space_every_n_scans), 1)
+        sm = self.submaps[self.active_idx]
+        if sm.n_scans == 0 or sm.n_scans % every != 0:
+            return
+        sm.map = voxel_map.carve(
+            sm.map, scan_map_frame,
+            jnp.asarray(map_to_range_sensor[:3, 3], jnp.float32),
+            carve_voxel_size=mb.space_carving.voxel_size,
+            truncation_distance=mb.space_carving.truncation_distance,
+            max_ray_length=mb.space_carving.max_raytracing_length)
+
     def insert_scan(self, merge_cloud_map_frame: PointCloud,
                     map_to_range_sensor: np.ndarray, time: float) -> bool:
         """Insert a preprocessed scan already transformed into the map frame.
@@ -136,6 +154,7 @@ class SubmapCollection:
             self.overlap_buffer.clear()
         else:
             sm = self.submaps[self.active_idx]
+            self._maybe_carve(merge_cloud_map_frame, map_to_range_sensor)
             sm.map = voxel_map.insert(sm.map, merge_cloud_map_frame, voxel)
             sm.n_scans += 1
         self.num_scans_merged_in_active += 1

@@ -128,17 +128,16 @@ def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_si
     from ..utils.pointcloud import make_cloud
 
     origin = jnp.asarray(sensor_origin, jnp.float32)
-    ray = scan.xyz - origin
-    hit_dist = jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    ray = jnp.where(scan.mask[:, None], scan.xyz - origin, 0.0)
+    hit_dist = jnp.linalg.norm(ray, axis=-1, keepdims=True)  # [N,1]
     direction = ray / jnp.maximum(hit_dist, 1e-9)
-    free_len = jnp.minimum(hit_dist - truncation_distance, max_ray_length)
+    free_len = jnp.minimum(hit_dist - truncation_distance, max_ray_length)  # [N,1]
     # steps samples in (0, free_len): fractions (i+0.5)/steps.
     frac = (jnp.arange(steps, dtype=jnp.float32) + 0.5) / steps
     sample_d = frac[None, :, None] * free_len[:, None, :]  # [N, S, 1]
     samples = origin + direction[:, None, :] * sample_d  # [N, S, 3]
-    sample_ok = jnp.logical_and(scan.mask[:, None], (free_len > 0)[:, None].repeat(steps, 1)[..., 0]
-                                if free_len.ndim > 1 else (free_len > 0))
-    sample_ok = jnp.logical_and(scan.mask[:, None], jnp.broadcast_to(free_len > 0, (scan.capacity, steps)))
+    sample_ok = jnp.logical_and(scan.mask[:, None],
+                                jnp.broadcast_to(free_len > 0, (scan.capacity, steps)))
     flat = samples.reshape(-1, 3)
     flat_ok = sample_ok.reshape(-1)
     free_cloud = PointCloud(

@@ -157,6 +157,7 @@ class SpaceCarvingParameters:
 @dataclass(frozen=True)
 class MapBuilderParameters:
     map_voxel_size: float = 0.1
+    is_carving_enabled: bool = False
     scan_cropping: ScanCroppingParameters = field(default_factory=ScanCroppingParameters)
     space_carving: SpaceCarvingParameters = field(default_factory=SpaceCarvingParameters)
 

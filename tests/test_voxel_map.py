@@ -1,0 +1,86 @@
+"""Voxel-map fusion, transform, capacity, and space carving tests
+(≙ reference VoxelHashMap / Voxel / Submap carving behaviors)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from open3d_slam_advanced_rss_2024_public_tpu.ops import generators, voxel_map
+from open3d_slam_advanced_rss_2024_public_tpu.utils import se3
+from open3d_slam_advanced_rss_2024_public_tpu.utils.pointcloud import make_cloud
+
+
+def test_insert_averages_within_voxel():
+    vm = voxel_map.empty(16)
+    c1 = make_cloud(jnp.array([[0.02, 0.02, 0.02]]))
+    c2 = make_cloud(jnp.array([[0.08, 0.08, 0.08]]))
+    vm = voxel_map.insert(vm, c1, 0.2)
+    vm = voxel_map.insert(vm, c2, 0.2)
+    assert int(vm.count()) == 1
+    xyz = np.asarray(vm.cloud.xyz)[np.asarray(vm.cloud.mask)]
+    np.testing.assert_allclose(xyz[0], [0.05, 0.05, 0.05], atol=1e-5)
+    w = np.asarray(vm.weight)[np.asarray(vm.cloud.mask)]
+    assert w[0] == 2.0
+
+
+def test_insert_weighted_mean_is_exact():
+    """Mean-of-means with weights == mean over all raw points."""
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (300, 3)) * 0.09  # all in one 0.1-voxel
+    vm = voxel_map.empty(8)
+    for i in range(3):
+        vm = voxel_map.insert(vm, make_cloud(pts[i * 100:(i + 1) * 100]), 0.1)
+    xyz = np.asarray(vm.cloud.xyz)[np.asarray(vm.cloud.mask)]
+    np.testing.assert_allclose(xyz[0], np.asarray(pts).mean(0), atol=1e-5)
+
+
+def test_capacity_keeps_heaviest_voxels():
+    vm = voxel_map.empty(2)
+    # Three voxels; voxel B gets the most points.
+    a = make_cloud(jnp.array([[0.0, 0, 0]]))
+    b = make_cloud(jnp.array([[1.0, 0.01, 0.0], [1.01, 0.02, 0.0], [1.02, 0.01, 0.01]]))
+    c = make_cloud(jnp.array([[2.0, 0, 0], [2.01, 0, 0]]))
+    vm = voxel_map.insert(vm, a, 0.5)
+    vm = voxel_map.insert(vm, b, 0.5)
+    vm = voxel_map.insert(vm, c, 0.5)
+    xyz = np.asarray(vm.cloud.xyz)[np.asarray(vm.cloud.mask)]
+    xs = sorted(np.round(xyz[:, 0], 1).tolist())
+    assert xs == [1.0, 2.0]  # the 1-point voxel was evicted
+
+
+def test_transform():
+    vm = voxel_map.empty(8)
+    vm = voxel_map.insert(vm, make_cloud(jnp.array([[1.0, 0, 0]])), 0.2)
+    T = se3.make_transform(jnp.eye(3), jnp.array([0.0, 1.0, 0.0]))
+    vm2 = voxel_map.transform(vm, T)
+    xyz = np.asarray(vm2.cloud.xyz)[np.asarray(vm2.cloud.mask)]
+    np.testing.assert_allclose(xyz[0], [1.0, 1.0, 0.0], atol=1e-5)
+
+
+def test_carve_removes_free_space_points():
+    """A stale point on the ray between sensor and the observed surface gets
+    carved; points at/behind the surface survive (≙ getIdxsOfCarvedPoints,
+    helpers.cpp:238-281)."""
+    vm = voxel_map.empty(64)
+    stale = make_cloud(jnp.array([[2.0, 0.0, 0.0]]))      # mid-ray ghost
+    surface = make_cloud(jnp.array([[5.0, 0.0, 0.0]]))    # true surface
+    vm = voxel_map.insert(vm, stale, 0.2)
+    vm = voxel_map.insert(vm, surface, 0.2)
+    # New scan sees the surface at 5 m along +x from the origin.
+    scan = make_cloud(jnp.tile(jnp.array([[5.0, 0.0, 0.0]]), (32, 1)))
+    carved = voxel_map.carve(vm, scan, jnp.zeros(3), carve_voxel_size=0.2,
+                             truncation_distance=0.3, max_ray_length=20.0)
+    xyz = np.asarray(carved.cloud.xyz)[np.asarray(carved.cloud.mask)]
+    assert xyz.shape[0] == 1
+    np.testing.assert_allclose(xyz[0], [5.0, 0, 0], atol=1e-4)
+
+
+def test_carve_respects_truncation():
+    """Points within the truncation band before the hit are NOT carved."""
+    vm = voxel_map.empty(64)
+    near_surface = make_cloud(jnp.array([[4.85, 0.0, 0.0]]))  # within 0.3 band
+    vm = voxel_map.insert(vm, near_surface, 0.1)
+    scan = make_cloud(jnp.tile(jnp.array([[5.0, 0.0, 0.0]]), (16, 1)))
+    carved = voxel_map.carve(vm, scan, jnp.zeros(3), carve_voxel_size=0.1,
+                             truncation_distance=0.3, max_ray_length=20.0,
+                             steps=128)
+    assert int(carved.count()) == 1
