@@ -49,7 +49,7 @@ def icp_config_from_params(params: SlamParameters) -> ICPConfig:
     minimizer = {
         "PointToPlaneIcp": "point_to_plane",
         "PointToPointIcp": "point_to_point",
-        "GeneralizedIcp": "point_to_plane",  # GICP maps to plane metric v1
+        "GeneralizedIcp": "gicp",
     }[reg.scan_to_map_refinement_type]
     return ICPConfig(
         matcher=resolve_matcher(reg.matcher),

@@ -35,7 +35,7 @@ class LidarOdometry:
         minimizer = {
             "PointToPlaneIcp": "point_to_plane",
             "PointToPointIcp": "point_to_point",
-            "GeneralizedIcp": "point_to_plane",
+            "GeneralizedIcp": "gicp",
         }[op.scan_matching.cloud_registration_type]
         self.icp_cfg = ICPConfig(
             max_iterations=op.scan_matching.icp.max_n_iter,

@@ -129,6 +129,19 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
             xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
         elif cfg.minimizer == "point_to_point":
             xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
+        elif cfg.minimizer == "gicp":
+            # Plane-disk covariances from normals (the GICP surface model:
+            # large in-plane variance, epsilon along the normal), matching
+            # Open3D's GeneralizedICP construction the reference wraps.
+            eps = 1e-3
+            I3 = jnp.eye(3, dtype=src.dtype)
+            def disk_cov(n):
+                nnT = n[:, :, None] * n[:, None, :]
+                return I3[None] - (1.0 - eps) * nnT
+            src_cov = disk_cov(src_nrm)
+            ref_cov = disk_cov(ref_nrm)
+            xi, mean_sq = minimizers.gicp_step(src_c, ref_c, src_cov, ref_cov,
+                                               w, cfg.damping)
         else:
             raise ValueError(f"unsupported minimizer in while-loop: {cfg.minimizer}")
 

@@ -85,3 +85,41 @@ def test_distributed_pose_graph_matches_host_solver():
 def test_mesh_construction():
     mesh = make_mesh()
     assert mesh.shape["data"] == len(jax.devices())
+
+
+@requires_multi
+def test_sharded_map_insert_and_query():
+    from open3d_slam_advanced_rss_2024_public_tpu.parallel.sharded_map import (
+        make_sharded_map_ops)
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import bruteforce
+
+    mesh = make_mesh()
+    empty_maps, insert_fn, nn_fn, gather_fn = make_sharded_map_ops(
+        mesh, capacity_per_device=4096, map_voxel_size=0.1, block_size=4.0)
+    maps = empty_maps()
+    world = synthetic.cluttered_world(jax.random.PRNGKey(7), extent=24.0,
+                                      n_objects=30)
+    pose_T = np.eye(4, dtype=np.float32)
+    pose_T[:3, 3] = [10.0, 0.0, 1.0]
+    scan = synthetic.render_scan(world, pose_T, jax.random.PRNGKey(1),
+                                 n_points=4096, max_range=14.0)
+    scan_map = scan.transform(jnp.asarray(pose_T))
+    maps = insert_fn(maps, scan_map)
+
+    # Every inserted point must be findable across the sharded map.
+    total = int(maps.cloud.mask.sum())
+    assert total > 1000
+    # Points live on multiple devices (blocks actually partitioned).
+    per_dev = np.asarray(maps.cloud.mask.sum(axis=1))
+    assert (per_dev > 0).sum() >= 4
+
+    queries = scan_map.xyz[:512]
+    qmask = scan_map.mask[:512]
+    xyz, nrm, d2, found = nn_fn(maps, queries, qmask, 0.3)
+    found = np.asarray(found)
+    assert found[np.asarray(qmask)].mean() > 0.95
+    # Matches agree with a single-device NN over the gathered map.
+    full = gather_fn(maps)
+    idx1, d2_1, found1 = bruteforce.nn(queries, qmask, full.xyz, 0.3)
+    ok = found & np.asarray(found1)
+    np.testing.assert_allclose(np.asarray(d2)[ok], np.asarray(d2_1)[ok], atol=1e-4)

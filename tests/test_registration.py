@@ -105,6 +105,17 @@ def test_icp_point_to_point_mode():
     assert r_err < 0.01 and t_err < 0.02
 
 
+def test_icp_gicp_mode():
+    key = jax.random.PRNGKey(9)
+    ref = make_scene(key, n=3000)
+    T_true = pose([0.0, 0.0, 0.03], [0.1, 0.05, 0.0])
+    src = ref.transform(se3.inverse(T_true))
+    cfg = ICPConfig(minimizer="gicp", max_iterations=30, use_normal_gate=False)
+    res = register_clouds(src, ref, jnp.eye(4), cfg)
+    r_err, t_err = rot_trans_error(res.transform, T_true)
+    assert r_err < 0.01 and t_err < 0.02
+
+
 def test_icp_converged_flag_and_counter():
     key = jax.random.PRNGKey(8)
     ref = make_scene(key, n=2000)
