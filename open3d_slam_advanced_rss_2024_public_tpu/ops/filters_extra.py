@@ -168,3 +168,110 @@ def sampling_surface_normal(cloud: PointCloud, key, ratio: float = 0.5,
 
     sub = base_filters.random_sampling(cloud, key, ratio)
     return normals_ops.estimate_normals(sub, radius=radius, k=knn)
+
+
+def octree_grid(cloud: PointCloud, max_size_by_node: float = 0.2,
+                sample_mode: int = 0) -> PointCloud:
+    """Octree-leaf subsampling over fixed-capacity arrays.
+
+    ≙ OctreeGridDataPointsFilter (reference: pointmatcher/DataPointsFilters/
+    OctreeGrid.cpp — build an octree until leaves are below maxSizeByNode,
+    then keep one representative per leaf).  On TPU the terminal octree
+    level is a uniform voxel grid at ``max_size_by_node``, so the filter
+    reduces to per-voxel representative selection — pointer-free and O(N log N)
+    via a single lexicographic sort.
+
+    sample_mode 0/1: first point per leaf (mask-only, points unmoved);
+    sample_mode 2/3: leaf centroid (equivalent to voxel averaging).
+    """
+    from . import filters as base_filters
+    from . import hashgrid as hg
+
+    if sample_mode >= 2:
+        return base_filters.voxel_downsample(cloud, max_size_by_node, cloud.capacity)
+    key3 = hg.voxel_key(cloud.xyz, jnp.float32(max_size_by_node))
+    # Invalid lanes sort last (sentinel coords are huge already, but make it
+    # explicit); lexicographic sort over the 3 int32 coords with the original
+    # index as final tie-break keeps "first point per leaf" deterministic.
+    kx = jnp.where(cloud.mask, key3[:, 0], jnp.int32(2**31 - 1))
+    ky, kz = key3[:, 1], key3[:, 2]
+    idx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    order = jnp.lexsort((idx, kz, ky, kx))
+    sk = jnp.stack([kx, ky, kz], axis=-1)[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(sk[1:] != sk[:-1], axis=-1)])
+    keep = jnp.zeros((cloud.capacity,), bool).at[order].set(is_first)
+    return cloud.with_mask(keep)
+
+
+def hidden_point_removal(cloud: PointCloud, sensor=(0.0, 0.0, 0.0),
+                         radius_scale: float = 100.0,
+                         n_azimuth: int = 256, n_elevation: int = 64) -> PointCloud:
+    """Keep points visible from the sensor viewpoint.
+
+    ≙ HiddenPointRemovalDataPointsFilter (reference: pointmatcher/
+    DataPointsFilters/HiddenPointRemoval.cpp — Katz et al. spherical flip +
+    convex hull).  A convex hull is hostile to fixed-shape TPU execution, so
+    this uses the direction-binning visibility approximation: quantize view
+    directions into an azimuth x elevation grid and keep the closest point
+    per occupied bin — exactly the visibility set for a scanning sensor, and
+    the regime where spherical-flip HPR is well-conditioned.  radius_scale
+    is accepted for config compatibility.
+    """
+    del radius_scale
+    rel = cloud.xyz - jnp.asarray(sensor, jnp.float32)
+    rng = jnp.linalg.norm(rel, axis=-1)
+    az = jnp.arctan2(rel[:, 1], rel[:, 0])  # [-pi, pi]
+    el = jnp.arcsin(jnp.clip(rel[:, 2] / jnp.maximum(rng, 1e-9), -1.0, 1.0))
+    ia = jnp.clip(((az + jnp.pi) / (2 * jnp.pi) * n_azimuth).astype(jnp.int32),
+                  0, n_azimuth - 1)
+    ie = jnp.clip(((el + jnp.pi / 2) / jnp.pi * n_elevation).astype(jnp.int32),
+                  0, n_elevation - 1)
+    bin_id = ie * n_azimuth + ia
+    # Min-range per bin via scatter-min, then keep points attaining the min.
+    big = jnp.float32(3.0e38)
+    bin_min = jnp.full((n_azimuth * n_elevation,), big, jnp.float32)
+    bin_min = bin_min.at[jnp.where(cloud.mask, bin_id, 0)].min(
+        jnp.where(cloud.mask, rng, big))
+    keep = rng <= bin_min[bin_id] * 1.0001
+    return cloud.with_mask(keep)
+
+
+def cut_at_descriptor_threshold(cloud: PointCloud, descriptor="incidenceAngles",
+                                threshold: float = 0.5,
+                                use_larger_than: bool = True,
+                                sensor=(0.0, 0.0, 0.0)) -> PointCloud:
+    """Mask points by a per-point descriptor threshold.
+
+    ≙ CutAtDescriptorThresholdDataPointsFilter (reference: pointmatcher/
+    DataPointsFilters/CutAtDescriptorThreshold.cpp).  ``descriptor`` is a
+    name ("incidenceAngles" | "ranges") or a precomputed f32[N] array;
+    use_larger_than=True cuts points whose descriptor exceeds the threshold.
+    """
+    if isinstance(descriptor, str):
+        if descriptor == "incidenceAngles":
+            desc = incidence_angle(cloud, sensor)
+        elif descriptor == "ranges":
+            desc = jnp.where(cloud.mask, jnp.linalg.norm(cloud.xyz, axis=-1), 0.0)
+        else:
+            raise ValueError(f"unknown descriptor name: {descriptor}")
+    else:
+        desc = descriptor
+    keep = desc <= threshold if use_larger_than else desc >= threshold
+    return cloud.with_mask(keep)
+
+
+def remove_sensor_bias(cloud: PointCloud, sensor=(0.0, 0.0, 0.0),
+                       angle_threshold: float = 0.785) -> PointCloud:
+    """Drop points whose incidence angle is too grazing for reliable range.
+
+    ≙ RemoveSensorBiasDataPointsFilter's rejection stage (reference:
+    pointmatcher/DataPointsFilters/RemoveSensorBias.cpp, Laconte et al. —
+    points beyond ``angleThreshold`` incidence carry unmodelable range bias
+    and are removed; the sensor-specific analytic bias correction is a
+    per-device calibration and intentionally not replicated).
+    """
+    ang = incidence_angle(cloud, sensor)
+    has_n = jnp.linalg.norm(cloud.normals, axis=-1) > 1e-6
+    keep = jnp.where(has_n, ang <= angle_threshold, True)
+    return cloud.with_mask(keep)

@@ -52,11 +52,22 @@ class ICPConfig:
     min_diff_rot: float = 0.001
     min_diff_trans: float = 0.01
     smooth_length: int = 3
-    minimizer: str = "point_to_plane"  # point_to_plane | point_to_point | gicp
+    # point_to_plane | point_to_point | gicp | similarity | identity
+    minimizer: str = "point_to_plane"
     robust_kernel: Optional[str] = None  # cauchy/welsch/huber/... or None
     robust_k: float = 0.5
     max_per_bucket: int = 32
     damping: float = 1e-6
+    # Explicit outlier-filter chain (overrides the trimmed/normal/robust
+    # fields above when set): tuple of (name, *params) entries, composed
+    # multiplicatively like libpointmatcher's outlierFilters list
+    # (reference ICP.cpp:412 outlierFilters.compute).  Names: trimmed,
+    # surface_normal, var_trimmed, median, max_dist, min_dist, robust, null.
+    outlier_chain: Optional[tuple] = None
+    # BoundTransformationChecker (reference TransformationCheckersImpl.h:
+    # 117-141): abort when the accumulated correction exceeds these bounds.
+    bound_max_rot: Optional[float] = None
+    bound_max_trans: Optional[float] = None
     # Correspondence engine: "bruteforce" (MXU-tiled exact NN — ~500x faster
     # on TPU for in-submap sizes, see ops/bruteforce.py) or "hashgrid"
     # (voxel-hash probe — for maps too large to sweep densely).
@@ -75,9 +86,35 @@ class ICPResult:
     converged: Array
     match_ratio: Array
     rmse: Array
+    # True when a BoundTransformationChecker aborted the solve (reference
+    # throws TransformationCheckersImpl.h:117-141; we flag instead).
+    diverged: Array
 
 
 def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm):
+    if cfg.outlier_chain is not None:
+        w = found.astype(jnp.float32)
+        for entry in cfg.outlier_chain:
+            name, params = entry[0], entry[1:]
+            if name == "trimmed":
+                w = w * outliers.trimmed_dist_weights(sq_dists, found, *params)
+            elif name == "surface_normal":
+                w = w * outliers.surface_normal_weights(src_nrm, ref_nrm, found, *params)
+            elif name == "var_trimmed":
+                w = w * outliers.var_trimmed_dist_weights(sq_dists, found, *params)
+            elif name == "median":
+                w = w * outliers.median_dist_weights(sq_dists, found, *params)
+            elif name == "max_dist":
+                w = w * outliers.max_dist_weights(sq_dists, found, *params)
+            elif name == "min_dist":
+                w = w * outliers.min_dist_weights(sq_dists, found, *params)
+            elif name == "robust":
+                w = w * outliers.robust_weights(sq_dists, found, *params)
+            elif name == "null":
+                pass
+            else:
+                raise ValueError(f"unknown outlier filter: {name}")
+        return w
     w = outliers.trimmed_dist_weights(sq_dists, found, cfg.trimmed_ratio)
     if cfg.use_normal_gate:
         w = w * outliers.surface_normal_weights(src_nrm, ref_nrm, found, cfg.normal_max_angle)
@@ -129,6 +166,22 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
             xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
         elif cfg.minimizer == "point_to_point":
             xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
+        elif cfg.minimizer == "similarity":
+            # PointToPointSimilarityErrorMinimizer (reference ErrorMinimizers/
+            # PointToPointSimilarity.cpp): closed-form Umeyama with scale.
+            # The scaled delta composes directly; twist deltas for the
+            # differential checker come from the rigid part.
+            S, scale_s = minimizers.point_to_point_umeyama(src_c, ref_c, w, with_scale=True)
+            xi = jnp.zeros((6,), src.dtype)
+            d = src_c - ref_c
+            wsum = jnp.maximum(jnp.sum(w), 1e-6)
+            mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
+        elif cfg.minimizer == "identity":
+            # IdentityErrorMinimizer: evaluate residuals, step = identity.
+            xi = jnp.zeros((6,), src.dtype)
+            d = src_c - ref_c
+            wsum = jnp.maximum(jnp.sum(w), 1e-6)
+            mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
         elif cfg.minimizer == "gicp":
             # Plane-disk covariances from normals (the GICP surface model:
             # large in-plane variance, epsilon along the normal), matching
@@ -145,29 +198,50 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
         else:
             raise ValueError(f"unsupported minimizer in while-loop: {cfg.minimizer}")
 
-        # Compose update (in centered frame): T <- C * exp(xi) * C^-1 * T.
-        dT = se3.se3_exp(xi)
+        # Compose update (in centered frame): T <- C * dT * C^-1 * T.
+        if cfg.minimizer == "similarity":
+            dT = S
+            rot_delta = se3.rotation_angle(
+                se3.make_transform(S[:3, :3] / jnp.maximum(scale_s, 1e-9), S[:3, 3]))
+            trans_delta = jnp.linalg.norm(S[:3, 3])
+        else:
+            dT = se3.se3_exp(xi)
+            rot_delta = jnp.linalg.norm(xi[:3])
+            trans_delta = jnp.linalg.norm(xi[3:])
         shift = se3.make_transform(jnp.eye(3, dtype=src.dtype), centroid)
         T_new = shift @ dT @ se3.inverse(shift) @ T
 
         # Differential transformation checker ring buffer of per-step deltas.
-        rot_delta = jnp.linalg.norm(xi[:3])
-        trans_delta = jnp.linalg.norm(xi[3:])
         ring = jnp.roll(ring, 1, axis=0).at[0].set(jnp.stack([rot_delta, trans_delta]))
 
         n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
         match_ratio = jnp.sum(found.astype(jnp.float32)) / n_valid
         return T_new, it + 1, ring, match_ratio, jnp.sqrt(mean_sq), xi
 
+    init_T_arr = jnp.asarray(init_T, jnp.float32)
+
+    def _out_of_bounds(T):
+        """BoundTransformationChecker: accumulated correction vs initial guess."""
+        if cfg.bound_max_rot is None and cfg.bound_max_trans is None:
+            return jnp.bool_(False)
+        delta = T @ se3.inverse(init_T_arr)
+        bad = jnp.bool_(False)
+        if cfg.bound_max_rot is not None:
+            bad = jnp.logical_or(bad, se3.rotation_angle(delta) > cfg.bound_max_rot)
+        if cfg.bound_max_trans is not None:
+            bad = jnp.logical_or(bad, se3.translation_norm(delta) > cfg.bound_max_trans)
+        return bad
+
     def cond(carry):
-        _, it, ring, _, _, _ = carry
+        T, it, ring, _, _, _ = carry
         mean_deltas = jnp.mean(ring, axis=0)
         converged = jnp.logical_and(
             it >= smooth,
             jnp.logical_and(mean_deltas[0] < cfg.min_diff_rot,
                             mean_deltas[1] < cfg.min_diff_trans),
         )
-        return jnp.logical_and(it < cfg.max_iterations, jnp.logical_not(converged))
+        keep_going = jnp.logical_and(it < cfg.max_iterations, jnp.logical_not(converged))
+        return jnp.logical_and(keep_going, jnp.logical_not(_out_of_bounds(T)))
 
     ring0 = jnp.full((smooth, 2), jnp.inf, dtype=jnp.float32)
     carry0 = (
@@ -182,12 +256,22 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
     mean_deltas = jnp.mean(ring, axis=0)
     converged = jnp.logical_and(mean_deltas[0] < cfg.min_diff_rot,
                                 mean_deltas[1] < cfg.min_diff_trans)
+    diverged = _out_of_bounds(T)
+    if cfg.minimizer == "similarity":
+        # Preserve the estimated scale: factor T = s*R | t, re-orthonormalize
+        # R, re-apply s (plain orthonormalize would erase the similarity).
+        s = jnp.cbrt(jnp.maximum(jnp.linalg.det(T[:3, :3]), 1e-12))
+        T_out = se3.orthonormalize(se3.make_transform(T[:3, :3] / s, T[:3, 3]))
+        T_out = se3.make_transform(s * T_out[:3, :3], T_out[:3, 3])
+    else:
+        T_out = se3.orthonormalize(T)
     return ICPResult(
-        transform=se3.orthonormalize(T),
+        transform=T_out,
         iterations=it,
-        converged=converged,
+        converged=jnp.logical_and(converged, jnp.logical_not(diverged)),
         match_ratio=match_ratio,
         rmse=rmse,
+        diverged=diverged,
     )
 
 
@@ -203,6 +287,36 @@ def register_clouds(source: PointCloud, reference: PointCloud, init_T: Array,
     """
     grid = hashgrid.build(reference, cfg.max_correspondence_dist, table_size=table_size)
     return register(source, grid, init_T, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sensor_std"))
+def register_with_covariance(source: PointCloud, ref_grid: hashgrid.HashGrid,
+                             init_T: Array, cfg: ICPConfig = ICPConfig(),
+                             sensor_std: float = 0.01):
+    """Register and return (ICPResult, 6x6 solution covariance).
+
+    The covariance is evaluated at the converged pose over the final
+    correspondence set — the analogue of libpointmatcher's
+    PointToPlaneWithCov / PointToPointWithCov minimizers (reference:
+    pointmatcher/ErrorMinimizers/PointToPlaneWithCov.cpp) whose covariance
+    the SLAM layer consumes as edge information matrices.
+    """
+    res = register(source, ref_grid, init_T, cfg)
+    src = se3.apply(res.transform, source.xyz)
+    src_nrm = se3.rotate(res.transform, source.normals)
+    idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
+                                   cfg.max_correspondence_dist)
+    ref_nrm = ref_grid.normals[idx]
+    w = _weights(cfg, d2, found, src_nrm, ref_nrm)
+    ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
+    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
+    src_c = jnp.where(found[:, None], src - centroid, 0.0)
+    if cfg.minimizer == "point_to_plane":
+        cov = minimizers.point_to_plane_covariance(src_c, ref_nrm, w, sensor_std)
+    else:
+        cov = minimizers.point_to_point_covariance(src_c, w, sensor_std)
+    return res, cov
 
 
 def evaluate_registration(source: PointCloud, target_grid: hashgrid.HashGrid,

@@ -93,6 +93,39 @@ def point_to_point_step(src_xyz: Array, ref_xyz: Array, weights: Array):
     return xi, mean_sq
 
 
+def point_to_plane_covariance(src_xyz: Array, ref_normals: Array,
+                              weights: Array, sensor_std: float = 0.01) -> Array:
+    """6x6 covariance of the point-to-plane solution.
+
+    TPU-native equivalent of PointToPlaneWithCovErrorMinimizer (reference:
+    pointmatcher/ErrorMinimizers/PointToPlaneWithCov.cpp — Censi-style
+    first-order propagation of sensor noise through the normal equations):
+    Sigma = sigma_z^2 (Jᵀ W J)^-1 with J_i = [p_i x n_i ; n_i].
+    Expects de-meaned coordinates (same frame the GN step solved in).
+    """
+    cross = jnp.cross(src_xyz, ref_normals)
+    g = jnp.concatenate([cross, ref_normals], axis=-1)  # [N, 6]
+    A = (g * weights[:, None]).T @ g
+    scale = jnp.trace(A) / 6.0 + 1e-12
+    A_reg = A + 1e-6 * scale * jnp.eye(6, dtype=A.dtype)
+    return (sensor_std * sensor_std) * jnp.linalg.inv(A_reg)
+
+
+def point_to_point_covariance(src_xyz: Array, weights: Array,
+                              sensor_std: float = 0.01) -> Array:
+    """6x6 covariance of the point-to-point solution (PointToPointWithCov).
+
+    J_i = [-[p_i]_x | I] stacked over 3 residual rows per correspondence.
+    """
+    px = se3.skew(src_xyz)  # [N,3,3]
+    J = jnp.concatenate(
+        [-px, jnp.broadcast_to(jnp.eye(3, dtype=src_xyz.dtype), px.shape)], axis=-1)
+    A = jnp.einsum("nij,nik,n->jk", J, J, weights)
+    scale = jnp.trace(A) / 6.0 + 1e-12
+    A_reg = A + 1e-6 * scale * jnp.eye(6, dtype=A.dtype)
+    return (sensor_std * sensor_std) * jnp.linalg.inv(A_reg)
+
+
 def gicp_step(src_xyz: Array, ref_xyz: Array, src_cov: Array, ref_cov: Array,
               weights: Array, damping: float = 1e-6):
     """Generalized-ICP step: plane-to-plane metric with combined covariances.

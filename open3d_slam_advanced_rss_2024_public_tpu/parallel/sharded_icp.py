@@ -134,6 +134,7 @@ def make_sharded_register(mesh: Mesh, cfg: ICPConfig):
             grid.points, grid.normals, grid.start, grid.count, grid.cell,
             jnp.asarray(init_T, jnp.float32))
         return ICPResult(transform=se3.orthonormalize(T), iterations=it,
-                         converged=conv, match_ratio=mr, rmse=rmse)
+                         converged=conv, match_ratio=mr, rmse=rmse,
+                         diverged=jnp.bool_(False))
 
     return run

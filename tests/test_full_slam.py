@@ -123,7 +123,9 @@ def test_online_workers_smoke():
         slam.add_odometry_pose(0.1 * i, gt[i])
         while not slam.add_range_scan(scan, 0.1 * i):
             _t.sleep(0.01)
-    deadline = _t.time() + 30
+    # Generous deadline: worker threads may hit fresh jit compiles on a
+    # loaded CPU CI machine (each shape variant is ~10s to compile there).
+    deadline = _t.time() + 180
     while len(slam.trajectory_poses) < 6 and _t.time() < deadline:
         _t.sleep(0.05)
     slam.stop_workers()
