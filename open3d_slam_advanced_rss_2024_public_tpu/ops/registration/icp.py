@@ -123,6 +123,101 @@ def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm):
     return w
 
 
+def reference_centroid(ref_grid: hashgrid.HashGrid) -> Array:
+    """Centroid of the valid reference points (de-meaned solving frame,
+    ≙ ICP.cpp:293-326 centroid re-centering)."""
+    ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
+    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
+
+
+def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGrid,
+                   centroid: Array, T: Array):
+    """One ICP iteration: match -> weigh -> minimize -> compose.
+
+    Shared by the production ``lax.while_loop`` driver and the
+    iteration-dump inspector (inspectors.py ≙ VTKFileInspector), so the
+    inspected program is exactly the production program.
+    Returns (T_new, rot_delta, trans_delta, match_ratio, rmse).
+    """
+    src = se3.apply(T, source.xyz)
+    src_nrm = se3.rotate(T, source.normals)
+    if cfg.matcher == "pallas":
+        from .. import pallas_nn
+
+        idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
+        found = jnp.logical_and(source.mask,
+                                d2 <= cfg.max_correspondence_dist**2)
+    elif cfg.matcher == "bruteforce":
+        idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
+                                       cfg.max_correspondence_dist)
+    else:
+        idx, d2, found = hashgrid.query_nn(
+            ref_grid, src, source.mask, cfg.max_correspondence_dist,
+            max_per_bucket=cfg.max_per_bucket,
+        )
+    ref_pts = ref_grid.points[idx]
+    ref_nrm = ref_grid.normals[idx]
+    w = _weights(cfg, d2, found, src_nrm, ref_nrm)
+
+    src_c = jnp.where(found[:, None], src - centroid, 0.0)
+    ref_c = jnp.where(found[:, None], ref_pts - centroid, 0.0)
+    if cfg.minimizer == "point_to_plane":
+        xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
+    elif cfg.minimizer == "point_to_point":
+        xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
+    elif cfg.minimizer == "similarity":
+        # PointToPointSimilarityErrorMinimizer (reference ErrorMinimizers/
+        # PointToPointSimilarity.cpp): closed-form Umeyama with scale.
+        # The scaled delta composes directly; twist deltas for the
+        # differential checker come from the rigid part.
+        S, scale_s = minimizers.point_to_point_umeyama(src_c, ref_c, w, with_scale=True)
+        xi = jnp.zeros((6,), src.dtype)
+        d = src_c - ref_c
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
+    elif cfg.minimizer == "identity":
+        # IdentityErrorMinimizer: evaluate residuals, step = identity.
+        xi = jnp.zeros((6,), src.dtype)
+        d = src_c - ref_c
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
+    elif cfg.minimizer == "gicp":
+        # Plane-disk covariances from normals (the GICP surface model:
+        # large in-plane variance, epsilon along the normal), matching
+        # Open3D's GeneralizedICP construction the reference wraps.
+        eps = 1e-3
+        I3 = jnp.eye(3, dtype=src.dtype)
+
+        def disk_cov(n):
+            nnT = n[:, :, None] * n[:, None, :]
+            return I3[None] - (1.0 - eps) * nnT
+
+        src_cov = disk_cov(src_nrm)
+        ref_cov = disk_cov(ref_nrm)
+        xi, mean_sq = minimizers.gicp_step(src_c, ref_c, src_cov, ref_cov,
+                                           w, cfg.damping)
+    else:
+        raise ValueError(f"unsupported minimizer in while-loop: {cfg.minimizer}")
+
+    # Compose update (in centered frame): T <- C * dT * C^-1 * T.
+    if cfg.minimizer == "similarity":
+        dT = S
+        rot_delta = se3.rotation_angle(
+            se3.make_transform(S[:3, :3] / jnp.maximum(scale_s, 1e-9), S[:3, 3]))
+        trans_delta = jnp.linalg.norm(S[:3, 3])
+    else:
+        dT = se3.se3_exp(xi)
+        rot_delta = jnp.linalg.norm(xi[:3])
+        trans_delta = jnp.linalg.norm(xi[3:])
+    shift = se3.make_transform(jnp.eye(3, dtype=src.dtype), centroid)
+    T_new = shift @ dT @ se3.inverse(shift) @ T
+
+    n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+    match_ratio = jnp.sum(found.astype(jnp.float32)) / n_valid
+    return T_new, rot_delta, trans_delta, match_ratio, jnp.sqrt(mean_sq)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
              cfg: ICPConfig = ICPConfig()) -> ICPResult:
@@ -130,93 +225,16 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
 
     init_T is the initial guess mapping source frame into reference frame.
     """
-    n_src = source.capacity
-    # Reference centroid for de-meaned solving.
-    ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
-    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
-    centroid = jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
-
+    centroid = reference_centroid(ref_grid)
     smooth = max(cfg.smooth_length, 1)
 
     def body(carry):
         T, it, ring, _, _, _ = carry
-        src = se3.apply(T, source.xyz)
-        src_nrm = se3.rotate(T, source.normals)
-        if cfg.matcher == "pallas":
-            from .. import pallas_nn
-
-            idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
-            found = jnp.logical_and(source.mask,
-                                    d2 <= cfg.max_correspondence_dist**2)
-        elif cfg.matcher == "bruteforce":
-            idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
-                                           cfg.max_correspondence_dist)
-        else:
-            idx, d2, found = hashgrid.query_nn(
-                ref_grid, src, source.mask, cfg.max_correspondence_dist,
-                max_per_bucket=cfg.max_per_bucket,
-            )
-        ref_pts = ref_grid.points[idx]
-        ref_nrm = ref_grid.normals[idx]
-        w = _weights(cfg, d2, found, src_nrm, ref_nrm)
-
-        src_c = jnp.where(found[:, None], src - centroid, 0.0)
-        ref_c = jnp.where(found[:, None], ref_pts - centroid, 0.0)
-        if cfg.minimizer == "point_to_plane":
-            xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
-        elif cfg.minimizer == "point_to_point":
-            xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
-        elif cfg.minimizer == "similarity":
-            # PointToPointSimilarityErrorMinimizer (reference ErrorMinimizers/
-            # PointToPointSimilarity.cpp): closed-form Umeyama with scale.
-            # The scaled delta composes directly; twist deltas for the
-            # differential checker come from the rigid part.
-            S, scale_s = minimizers.point_to_point_umeyama(src_c, ref_c, w, with_scale=True)
-            xi = jnp.zeros((6,), src.dtype)
-            d = src_c - ref_c
-            wsum = jnp.maximum(jnp.sum(w), 1e-6)
-            mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
-        elif cfg.minimizer == "identity":
-            # IdentityErrorMinimizer: evaluate residuals, step = identity.
-            xi = jnp.zeros((6,), src.dtype)
-            d = src_c - ref_c
-            wsum = jnp.maximum(jnp.sum(w), 1e-6)
-            mean_sq = jnp.sum(w * jnp.sum(d * d, axis=-1)) / wsum
-        elif cfg.minimizer == "gicp":
-            # Plane-disk covariances from normals (the GICP surface model:
-            # large in-plane variance, epsilon along the normal), matching
-            # Open3D's GeneralizedICP construction the reference wraps.
-            eps = 1e-3
-            I3 = jnp.eye(3, dtype=src.dtype)
-            def disk_cov(n):
-                nnT = n[:, :, None] * n[:, None, :]
-                return I3[None] - (1.0 - eps) * nnT
-            src_cov = disk_cov(src_nrm)
-            ref_cov = disk_cov(ref_nrm)
-            xi, mean_sq = minimizers.gicp_step(src_c, ref_c, src_cov, ref_cov,
-                                               w, cfg.damping)
-        else:
-            raise ValueError(f"unsupported minimizer in while-loop: {cfg.minimizer}")
-
-        # Compose update (in centered frame): T <- C * dT * C^-1 * T.
-        if cfg.minimizer == "similarity":
-            dT = S
-            rot_delta = se3.rotation_angle(
-                se3.make_transform(S[:3, :3] / jnp.maximum(scale_s, 1e-9), S[:3, 3]))
-            trans_delta = jnp.linalg.norm(S[:3, 3])
-        else:
-            dT = se3.se3_exp(xi)
-            rot_delta = jnp.linalg.norm(xi[:3])
-            trans_delta = jnp.linalg.norm(xi[3:])
-        shift = se3.make_transform(jnp.eye(3, dtype=src.dtype), centroid)
-        T_new = shift @ dT @ se3.inverse(shift) @ T
-
+        T_new, rot_delta, trans_delta, match_ratio, rmse = iteration_step(
+            cfg, source, ref_grid, centroid, T)
         # Differential transformation checker ring buffer of per-step deltas.
         ring = jnp.roll(ring, 1, axis=0).at[0].set(jnp.stack([rot_delta, trans_delta]))
-
-        n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
-        match_ratio = jnp.sum(found.astype(jnp.float32)) / n_valid
-        return T_new, it + 1, ring, match_ratio, jnp.sqrt(mean_sq), xi
+        return T_new, it + 1, ring, match_ratio, rmse, jnp.zeros((6,), jnp.float32)
 
     init_T_arr = jnp.asarray(init_T, jnp.float32)
 

@@ -119,6 +119,196 @@ def load_pcd(path: str, capacity: Optional[int] = None) -> PointCloud:
     return make_cloud(xyz, normals=normals, capacity=capacity)
 
 
+def save_ply(path: str, cloud: PointCloud, binary: bool = True,
+             colors: Optional[np.ndarray] = None) -> None:
+    """Write a PLY file (ascii or binary_little_endian) with xyz, optional
+    normals and optional uint8 RGB colors.
+
+    ≙ DataPoints PLY save (reference libpointmatcher/pointmatcher/IO.cpp
+    PLYElement writers, IO.h:182-227).
+    """
+    from .pointcloud import to_numpy
+
+    xyz, normals = to_numpy(cloud)
+    has_n = np.any(np.abs(normals) > 1e-9)
+    n = xyz.shape[0]
+    props = ["property float x", "property float y", "property float z"]
+    if has_n:
+        props += ["property float nx", "property float ny", "property float nz"]
+    if colors is not None:
+        colors = np.asarray(colors, dtype=np.uint8)[: n]
+        props += ["property uchar red", "property uchar green", "property uchar blue"]
+    header = "\n".join(
+        ["ply",
+         f"format {'binary_little_endian' if binary else 'ascii'} 1.0",
+         f"element vertex {n}"] + props + ["end_header"]) + "\n"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if binary:
+        # Structured dtype so mixed float/uchar rows pack correctly.
+        fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+        if has_n:
+            fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+        if colors is not None:
+            fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        rec = np.empty(n, dtype=fields)
+        rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        if has_n:
+            rec["nx"], rec["ny"], rec["nz"] = normals[:, 0], normals[:, 1], normals[:, 2]
+        if colors is not None:
+            rec["red"], rec["green"], rec["blue"] = colors[:, 0], colors[:, 1], colors[:, 2]
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(rec.tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write(header)
+            for i in range(n):
+                row = list(xyz[i])
+                if has_n:
+                    row += list(normals[i])
+                line = " ".join(f"{v:.6f}" for v in row)
+                if colors is not None:
+                    line += " " + " ".join(str(int(v)) for v in colors[i])
+                f.write(line + "\n")
+
+
+def load_ply(path: str, capacity: Optional[int] = None) -> PointCloud:
+    """Read PLY (ascii / binary_little_endian) vertex clouds with optional
+    normals; colors and extra properties are skipped."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n = 0
+        props: List[Tuple[str, str]] = []  # (type, name), vertex element only
+        in_vertex = False
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                in_vertex = name == "vertex"
+                if in_vertex:
+                    n = int(cnt)
+            elif line.startswith("property") and in_vertex:
+                toks = line.split()
+                if toks[1] == "list":
+                    raise ValueError("list properties unsupported in vertex element")
+                props.append((toks[1], toks[2]))
+            elif line == "end_header":
+                break
+        type_map = {"float": "<f4", "float32": "<f4", "double": "<f8",
+                    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+                    "short": "<i2", "ushort": "<u2", "int": "<i4",
+                    "int32": "<i4", "uint": "<u4", "uint32": "<u4"}
+        if fmt == "binary_little_endian":
+            rec_dt = np.dtype([(name, type_map[t]) for t, name in props])
+            rec = np.frombuffer(f.read(n * rec_dt.itemsize), dtype=rec_dt, count=n)
+            get = lambda name: rec[name].astype(np.float32)
+        elif fmt == "ascii":
+            data = np.loadtxt(f, dtype=np.float64, max_rows=n)
+            if data.ndim == 1:
+                data = data[None, :]
+            cols = {name: i for i, (_, name) in enumerate(props)}
+            get = lambda name: data[:, cols[name]].astype(np.float32)
+        else:
+            raise ValueError(f"unsupported PLY format: {fmt}")
+    names = [name for _, name in props]
+    xyz = np.stack([get("x"), get("y"), get("z")], axis=-1)
+    normals = None
+    if all(k in names for k in ("nx", "ny", "nz")):
+        normals = np.stack([get("nx"), get("ny"), get("nz")], axis=-1)
+    return make_cloud(xyz, normals=normals, capacity=capacity)
+
+
+def save_vtk(path: str, cloud: PointCloud) -> None:
+    """Write a legacy-ASCII VTK POLYDATA point cloud (+ normals when present).
+
+    ≙ DataPoints::saveVTK (reference libpointmatcher/pointmatcher/IO.cpp /
+    VTKFileInspector output format) — the format its golden-test clouds use.
+    """
+    from .pointcloud import to_numpy
+
+    xyz, normals = to_numpy(cloud)
+    has_n = np.any(np.abs(normals) > 1e-9)
+    n = xyz.shape[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write("open3d_slam_advanced_rss_2024_public_tpu cloud\n")
+        f.write("ASCII\nDATASET POLYDATA\n")
+        f.write(f"POINTS {n} float\n")
+        np.savetxt(f, xyz, fmt="%.6f")
+        f.write(f"VERTICES {n} {2 * n}\n")
+        for i in range(n):
+            f.write(f"1 {i}\n")
+        if has_n:
+            f.write(f"POINT_DATA {n}\n")
+            f.write("NORMALS normals float\n")
+            np.savetxt(f, normals, fmt="%.6f")
+
+
+def load_vtk(path: str, capacity: Optional[int] = None) -> PointCloud:
+    """Read legacy-ASCII VTK POLYDATA/UNSTRUCTURED_GRID points + NORMALS."""
+    xyz = None
+    normals = None
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    n = 0
+
+    def read_floats(start: int, count: int) -> Tuple[np.ndarray, int]:
+        vals: List[float] = []
+        j = start
+        while len(vals) < count and j < len(lines):
+            vals.extend(float(tok) for tok in lines[j].split())
+            j += 1
+        return np.asarray(vals[:count], dtype=np.float32), j
+
+    while i < len(lines):
+        toks = lines[i].split()
+        if toks and toks[0] == "POINTS":
+            n = int(toks[1])
+            flat, i = read_floats(i + 1, 3 * n)
+            xyz = flat.reshape(n, 3)
+            continue
+        if toks and toks[0] == "NORMALS":
+            flat, i = read_floats(i + 1, 3 * n)
+            normals = flat.reshape(n, 3)
+            continue
+        i += 1
+    if xyz is None:
+        raise ValueError(f"{path}: no POINTS section found")
+    return make_cloud(xyz, normals=normals, capacity=capacity)
+
+
+_LOADERS = {".csv": load_csv_cloud, ".xyz": load_csv_cloud, ".pcd": load_pcd,
+            ".ply": load_ply, ".vtk": load_vtk}
+
+
+def load_cloud(path: str, capacity: Optional[int] = None) -> PointCloud:
+    """Load a cloud, dispatching on extension (csv/xyz/pcd/ply/vtk) —
+    ≙ DataPoints::load (reference IO.cpp extension dispatch)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _LOADERS:
+        raise ValueError(f"unsupported cloud format {ext!r} (known: {sorted(_LOADERS)})")
+    return _LOADERS[ext](path, capacity=capacity)
+
+
+def save_cloud(path: str, cloud: PointCloud, binary: bool = True) -> None:
+    """Save a cloud, dispatching on extension (pcd/ply/vtk)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pcd":
+        save_pcd(path, cloud, binary=binary)
+    elif ext == ".ply":
+        save_ply(path, cloud, binary=binary)
+    elif ext == ".vtk":
+        save_vtk(path, cloud)
+    else:
+        raise ValueError(f"unsupported cloud format {ext!r} (known: .pcd .ply .vtk)")
+
+
 # ---------------------------------------------------------------------------
 # Trajectories
 # ---------------------------------------------------------------------------
