@@ -23,9 +23,17 @@ import numpy as np
 
 def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="TPU-native LiDAR SLAM")
-    ap.add_argument("--dataset", choices=["synthetic", "kitti", "pcd-dir"],
+    ap.add_argument("--dataset", choices=["synthetic", "kitti", "pcd-dir", "rosbag"],
                     default="synthetic")
-    ap.add_argument("--params", help="JSON parameter file (deep-merged onto defaults)")
+    ap.add_argument("--bag", help="rosbag path (V2.0)")
+    ap.add_argument("--cloud-topic", default="/rslidar_points")
+    ap.add_argument("--odometry-topic", help="nav_msgs/Odometry topic for "
+                    "external-odometry pairing (optional)")
+    ap.add_argument("--params", help="parameter file: .lua (reference-compatible "
+                    "Lua schema) or .json, deep-merged onto defaults")
+    ap.add_argument("--params-search-dir", action="append", default=[],
+                    help="extra include search dirs for .lua params "
+                    "(repeatable; ≙ ConfigurationFileResolver)")
     ap.add_argument("--output", default="./slam_output")
     ap.add_argument("--steps", type=int, default=100, help="synthetic: frame count")
     ap.add_argument("--trajectory", default="loop", choices=["loop", "straight"])
@@ -48,8 +56,17 @@ def main(argv=None) -> int:
     from ..utils.config import load_parameters, load_parameters_file
     from . import replay as replay_mod
 
-    params = (load_parameters_file(args.params) if args.params
-              else load_parameters(None))
+    if args.params and args.params.endswith(".lua"):
+        from ..utils.lua_config import load_lua_parameters
+
+        params, warnings = load_lua_parameters(args.params,
+                                               search_dirs=args.params_search_dir)
+        for w in warnings:
+            print(f"[params] {w}", file=sys.stderr)
+    elif args.params:
+        params = load_parameters_file(args.params)
+    else:
+        params = load_parameters(None)
     runner = replay_mod.ReplayRunner(params, output_dir=args.output)
 
     if args.initial_map:
@@ -69,6 +86,11 @@ def main(argv=None) -> int:
                                       max_frames=args.max_frames,
                                       use_gt_as_odometry=False)
         gt = kitti.kitti_ground_truth(args.kitti_root, args.sequence)
+    elif args.dataset == "rosbag":
+        from . import rosbag as rosbag_mod
+
+        frames = rosbag_mod.rosbag_sequence(args.bag, args.cloud_topic,
+                                            odometry_topic=args.odometry_topic)
     else:
         frames = replay_mod.pcd_directory_sequence(args.pcd_dir,
                                                    trajectory_file=args.odometry)

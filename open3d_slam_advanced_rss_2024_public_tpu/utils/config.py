@@ -108,6 +108,7 @@ class ScanCroppingParameters:
 class ScanProcessingParameters:
     voxel_size: float = 0.1
     downsampling_ratio: float = 0.3
+    point_cloud_buffer_size: int = 1
     scan_cropping: ScanCroppingParameters = field(default_factory=ScanCroppingParameters)
     # TPU extension: fixed lane capacity of the processed scan.
     point_capacity: int = 16384
@@ -130,6 +131,9 @@ class ScanMatchingParameters:
 @dataclass(frozen=True)
 class OdometryParameters:
     is_publish_odometry_msgs: bool = False
+    use_odometry_topic_instead_of_scan_to_scan: bool = True
+    use_IMU_for_attitude_initialization: bool = False
+    odometry_buffer_size: int = 1
     scan_matching: ScanMatchingParameters = field(default_factory=ScanMatchingParameters)
     scan_processing: ScanProcessingParameters = field(default_factory=ScanProcessingParameters)
 
@@ -139,7 +143,9 @@ class SubmapParameters:
     submap_size: float = 20.0  # meters
     min_num_range_data: int = 10
     adjacency_based_revisiting_min_fitness: float = 0.5
+    min_seconds_between_feature_computation: float = 5.0
     submaps_num_scan_overlap: int = 10
+    max_num_points: int = 400000  # new-submap trigger (SubmapCollection.cpp:114-116)
     # TPU extension: per-submap fixed point budget (≙ the reference's implicit
     # 400k-point budget in SubmapCollection::updateActiveSubmap).
     point_capacity: int = 131072
@@ -152,6 +158,8 @@ class SpaceCarvingParameters:
     max_raytracing_length: float = 20.0
     truncation_distance: float = 0.3
     carve_space_every_n_scans: float = 10.0
+    min_dot_product_with_normal: float = 0.5
+    neigborhood_radius_for_removal: float = 0.1  # (sic — reference spelling)
 
 
 @dataclass(frozen=True)
@@ -185,6 +193,9 @@ class ScanToMapRegistrationParameters:
 @dataclass(frozen=True)
 class MapperLocalizerParameters:
     is_print_timing_information: bool = True
+    is_carving_enabled: bool = False
+    republish_the_preloaded_map: bool = True
+    mapping_buffer_size: int = 1
     is_build_dense_map: bool = False
     is_attempt_loop_closures: bool = True
     is_use_map_initialization: bool = False
@@ -213,6 +224,7 @@ class MapInitializerParameters:
     is_initialize_interactively: bool = False
     frame_id: str = "map_o3d"
     pcd_file_path: str = ""
+    pcd_file_package: str = ""
     init_pose: Pose6 = field(default_factory=Pose6)
 
 
