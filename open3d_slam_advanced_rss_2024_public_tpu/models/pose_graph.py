@@ -105,6 +105,56 @@ def _edge_residuals(deltas: Array, graph: PoseGraphArrays) -> Array:
     return se3.se3_log(err)  # [E,6]
 
 
+def edge_residuals_and_jacobians(deltas: Array, graph: PoseGraphArrays):
+    """Residuals plus closed-form per-edge 6x6 Jacobian blocks.
+
+    With right perturbations X_k <- X_k exp(xi_k):
+      r(xi) = log(E exp(xi_j))            => J_j = Jr^{-1}(r)
+      r(xi) = log(E exp(-Ad_{rel^-1} xi_i)) => J_i = -Jr^{-1}(r) Ad(rel^-1)
+    where rel = X_i^-1 X_j and E = T_meas^-1 rel.  This replaces the dense
+    jacfwd [6E,6N] materialization (reference solves the same sparse
+    block system inside Open3D's GlobalOptimizationLevenbergMarquardt,
+    OptimizationProblem.cpp:25-44).
+    Returns (r [E,6], J_i [E,6,6], J_j [E,6,6]).
+    """
+    X = graph.node_poses @ se3.se3_exp(deltas)
+    Xi = X[graph.edge_src]
+    Xj = X[graph.edge_dst]
+    rel = se3.inverse(Xi) @ Xj
+    err = se3.inverse(graph.edge_T) @ rel
+    r = se3.se3_log(err)
+    Jinv = se3.log_right_jacobian_inv(r)
+    Jj = Jinv
+    Ji = -(Jinv @ se3.adjoint(se3.inverse(rel)))
+    return r, Ji, Jj
+
+
+def assemble_normal_equations(r: Array, Ji: Array, Jj: Array, W: Array,
+                              edge_src: Array, edge_dst: Array, n_nodes: int):
+    """Scatter-add per-edge blocks into the sparse-block normal equations.
+
+    H is materialized [N,N,6,6] (block-dense layout: 36*N^2 floats — 37 MB
+    at N=512) and b [N,6]; no [6E,6N] Jacobian ever exists.  Duplicate-index
+    scatter-adds accumulate, so parallel edges just sum.
+    """
+    WJi = W @ Ji  # [E,6,6]
+    WJj = W @ Jj
+    Hii = jnp.einsum("eki,ekj->eij", Ji, WJi)
+    Hjj = jnp.einsum("eki,ekj->eij", Jj, WJj)
+    Hij = jnp.einsum("eki,ekj->eij", Ji, WJj)
+    bi = -jnp.einsum("ekn,ek->en", WJi, r)
+    bj = -jnp.einsum("ekn,ek->en", WJj, r)
+    H = jnp.zeros((n_nodes, n_nodes, 6, 6), r.dtype)
+    H = H.at[edge_src, edge_src].add(Hii)
+    H = H.at[edge_dst, edge_dst].add(Hjj)
+    H = H.at[edge_src, edge_dst].add(Hij)
+    H = H.at[edge_dst, edge_src].add(jnp.swapaxes(Hij, -1, -2))
+    b = jnp.zeros((n_nodes, 6), r.dtype)
+    b = b.at[edge_src].add(bi)
+    b = b.at[edge_dst].add(bj)
+    return H, b
+
+
 @partial(jax.jit, static_argnames=("max_iterations",))
 def solve(graph: PoseGraphArrays, reference_node: Array,
           loop_closure_preference: float = 2.0,
@@ -128,20 +178,18 @@ def solve(graph: PoseGraphArrays, reference_node: Array,
 
     def step(carry, _):
         deltas, lam = carry
-        r = _edge_residuals(deltas, graph)  # [E,6]
+        r, Ji, Jj = edge_residuals_and_jacobians(deltas, graph)  # [E,6],[E,6,6]x2
         # Switchable-constraint closed-form weights for uncertain edges:
         # s = (phi / (phi + chi2))^2, certain edges s = 1.
         chi2 = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
         s = jnp.where(graph.edge_uncertain, (phi / (phi + chi2)) ** 2, 1.0)
         s = jnp.where(graph.edge_mask, s, 0.0)
 
-        J = jax.jacfwd(lambda d: _edge_residuals(d.reshape(N, 6), graph).reshape(-1))(
-            deltas.reshape(-1))  # [6E, 6N]
-        W = (graph.edge_info * s[:, None, None])
-        # Block-weighted normal equations.
-        Jr = J.reshape(E, 6, N * 6)
-        H = jnp.einsum("eik,eij,ejl->kl", Jr, W, Jr)
-        b = -jnp.einsum("eik,eij,ej->k", Jr, W, r)
+        W = graph.edge_info * s[:, None, None]
+        Hb, b = assemble_normal_equations(r, Ji, Jj, W,
+                                          graph.edge_src, graph.edge_dst, N)
+        H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(N * 6, N * 6)
+        b = b.reshape(N * 6)
         # Pin the reference node by zeroing its rows/cols and unit diagonal.
         pin = (jnp.arange(N) == reference_node)
         pin6 = jnp.repeat(pin, 6)

@@ -84,6 +84,23 @@ def orient_normals(cloud: PointCloud, sensor=(0.0, 0.0, 0.0),
     return cloud.with_normals(jnp.where(flip, -cloud.normals, cloud.normals))
 
 
+def with_observation_direction(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> PointCloud:
+    """Registry entry point for ObservationDirectionDataPointsFilter.
+
+    The direction itself is available via :func:`observation_direction`;
+    as a pipeline stage the filter only adds a descriptor (geometry is
+    unchanged), and downstream consumers (OrientNormals, point-to-plane)
+    are sign-invariant, so the cloud passes through.
+    """
+    return cloud
+
+
+def with_incidence_angle(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> PointCloud:
+    """Registry entry point for IncidenceAngleDataPointsFilter (descriptor
+    producer; see :func:`incidence_angle` for the values)."""
+    return cloud
+
+
 def incidence_angle(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> Array:
     """Per-point incidence angle between the viewing ray and the normal.
     ≙ IncidenceAngleDataPointsFilter (descriptor)."""

@@ -156,6 +156,20 @@ def _f_orient_normals(cloud, key, p):
         cloud, toward_center=bool(int(p.get("towardCenter", 1))))
 
 
+def _f_observation_direction(cloud, key, p):
+    # Records the sensor->point direction descriptor (reference
+    # ObservationDirectionDataPointsFilter).  Consumed by OrientNormals;
+    # normal orientation is sign-only and cancels in the point-to-plane
+    # normal equations ((-n)(-r) = n r), so cloud geometry is unchanged.
+    return filters_extra.with_observation_direction(
+        cloud, sensor=(float(p.get("x", 0.0)), float(p.get("y", 0.0)),
+                       float(p.get("z", 0.0))))
+
+
+def _f_incidence_angle(cloud, key, p):
+    return filters_extra.with_incidence_angle(cloud)
+
+
 def _f_random_sampling(cloud, key, p):
     return filters.random_sampling(cloud, key, prob=float(p.get("prob", 0.75)))
 
@@ -227,6 +241,8 @@ _FILTERS = {
     "surfacenormal": _f_surface_normal,
     "samplingsurfacenormal": _f_sampling_surface_normal,
     "orientnormals": _f_orient_normals,
+    "observationdirection": _f_observation_direction,
+    "incidenceangle": _f_incidence_angle,
     "randomsampling": _f_random_sampling,
     "maxpointcount": _f_max_point_count,
     "fixstepsampling": _f_fix_step,
@@ -285,8 +301,14 @@ _OUTLIER_MAP = {
     "maxdist": lambda p: ("max_dist", float(p.get("maxDist", 1.0))),
     "mindist": lambda p: ("min_dist", float(p.get("minDist", 0.1))),
     "surfacenormal": lambda p: ("surface_normal", float(p.get("maxAngle", 1.57))),
+    # (fct, tuning, scaleEstimator, distanceType, approximation) — the
+    # RobustOutlierFilter parameter set (reference OutlierFiltersImpl.cpp:
+    # 390-436).
     "robust": lambda p: ("robust", str(p.get("robustFct", "cauchy")),
-                         float(p.get("tuning", 1.0))),
+                         float(p.get("tuning", 1.0)),
+                         str(p.get("scaleEstimator", "none")),
+                         str(p.get("distanceType", "point2point")),
+                         float(p.get("approximation", float("inf")))),
 }
 
 _MINIMIZER_MAP = {
@@ -336,8 +358,14 @@ class IcpChain:
         src = self.process_reading(source, k_read)
         if isinstance(reference, PointCloud):
             ref = self.process_reference(reference, k_ref)
-            grid = hashgrid.build(ref, self.config.max_correspondence_dist,
-                                  table_size=table_size)
+            if self.config.matcher in ("bruteforce", "pallas") or not jnp.isfinite(
+                    self.config.max_correspondence_dist):
+                # Dense matchers only read points/normals; no CSR index (and
+                # maxDist=inf, the KDTreeMatcher default, has no voxel size).
+                grid = hashgrid.passthrough(ref, 1.0)
+            else:
+                grid = hashgrid.build(ref, self.config.max_correspondence_dist,
+                                      table_size=table_size)
         else:
             grid = reference
         if self.with_covariance:
@@ -373,10 +401,12 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
         cname = _canon(name)
         if cname not in ("kdtree", "kdtreevardist", "null", "bruteforce"):
             raise ValueError(f"unknown matcher {name!r}")
-        if "maxDist" in params:
-            cfg_kw["max_correspondence_dist"] = float(params["maxDist"])
-        # knn>1 averaging is not used by the production chain (knn=1);
-        # epsilon (approximate search) has no analogue in exact gather.
+        # KDTreeMatcher defaults (reference MatchersImpl.h): knn=1,
+        # maxDist=inf.  knn>1 stacks all k matches as correspondences.
+        # epsilon (approximate search) has no analogue in exact gather —
+        # exact search is a strict quality upgrade.
+        cfg_kw["max_correspondence_dist"] = float(params.get("maxDist", float("inf")))
+        cfg_kw["knn"] = int(params.get("knn", 1))
 
     # outlier filters ---------------------------------------------------------
     ofs = _entries(chain.get("outlierFilters"))
@@ -402,6 +432,11 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
                              f"known: {sorted(_MINIMIZER_MAP)}")
         cfg_kw["minimizer"], with_cov = _MINIMIZER_MAP[cname]
         sensor_std = float(params.get("sensorStdDev", 0.01))
+        # PointToPlane DOF restrictions (reference PointToPlane.cpp:87-106).
+        if int(params.get("force4DOF", 0)):
+            cfg_kw["force4dof"] = True
+        if int(params.get("force2D", 0)):
+            cfg_kw["force2d"] = True
 
     # transformation checkers -------------------------------------------------
     for name, params in _entries(chain.get("transformationCheckers")):

@@ -54,6 +54,14 @@ class ICPConfig:
     smooth_length: int = 3
     # point_to_plane | point_to_point | gicp | similarity | identity
     minimizer: str = "point_to_plane"
+    # PointToPlane DOF restrictions (reference PointToPlane.cpp:108-156):
+    # force4dof = yaw-only rotation; force2d = planar (yaw + xy translation).
+    force4dof: bool = False
+    force2d: bool = False
+    # Matches per reading point (reference KDTreeMatcher knn parameter,
+    # MatchersImpl.cpp:118-133).  knn>1 stacks all k matches as
+    # correspondences, exactly like ErrorElements assembly.
+    knn: int = 1
     robust_kernel: Optional[str] = None  # cauchy/welsch/huber/... or None
     robust_k: float = 0.5
     max_per_bucket: int = 32
@@ -91,36 +99,89 @@ class ICPResult:
     diverged: Array
 
 
-def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm):
+def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm,
+             slot_mask=None, p2plane_sq=None):
+    """Compose the outlier-filter chain into per-correspondence weights.
+
+    slot_mask = valid reading lanes (x knn) — the quantile basis of the
+    reference's getDistsQuantile (includes not-found matches as +inf).
+    p2plane_sq = squared point-to-plane residuals, consumed by
+    RobustOutlierFilter's distanceType: point2plane.
+    """
+    if slot_mask is None:
+        slot_mask = found
     if cfg.outlier_chain is not None:
         w = found.astype(jnp.float32)
         for entry in cfg.outlier_chain:
             name, params = entry[0], entry[1:]
             if name == "trimmed":
-                w = w * outliers.trimmed_dist_weights(sq_dists, found, *params)
+                w = w * outliers.trimmed_dist_weights(sq_dists, found, *params,
+                                                      slot_mask=slot_mask)
             elif name == "surface_normal":
                 w = w * outliers.surface_normal_weights(src_nrm, ref_nrm, found, *params)
             elif name == "var_trimmed":
                 w = w * outliers.var_trimmed_dist_weights(sq_dists, found, *params)
             elif name == "median":
-                w = w * outliers.median_dist_weights(sq_dists, found, *params)
+                w = w * outliers.median_dist_weights(sq_dists, found, *params,
+                                                     slot_mask=slot_mask)
             elif name == "max_dist":
                 w = w * outliers.max_dist_weights(sq_dists, found, *params)
             elif name == "min_dist":
                 w = w * outliers.min_dist_weights(sq_dists, found, *params)
             elif name == "robust":
-                w = w * outliers.robust_weights(sq_dists, found, *params)
+                kind, tuning, scale_est, dist_type, approx = params
+                w = w * outliers.robust_weights(
+                    sq_dists, found, kind, tuning, scale_estimator=scale_est,
+                    p2plane_sq=p2plane_sq, distance_type=dist_type,
+                    approximation=approx)
             elif name == "null":
                 pass
             else:
                 raise ValueError(f"unknown outlier filter: {name}")
         return w
-    w = outliers.trimmed_dist_weights(sq_dists, found, cfg.trimmed_ratio)
+    w = outliers.trimmed_dist_weights(sq_dists, found, cfg.trimmed_ratio,
+                                      slot_mask=slot_mask)
     if cfg.use_normal_gate:
         w = w * outliers.surface_normal_weights(src_nrm, ref_nrm, found, cfg.normal_max_angle)
     if cfg.robust_kernel is not None:
         w = w * outliers.robust_weights(sq_dists, found, cfg.robust_kernel, cfg.robust_k)
     return w
+
+
+def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
+           ref_grid: hashgrid.HashGrid):
+    """Correspondence search honoring cfg.matcher and cfg.knn.
+
+    Returns flattened per-correspondence arrays
+    (src[N*K,3], src_nrm[N*K,3], slot_mask[N*K], idx[N*K], d2[N*K],
+    found[N*K]) plus per_point_found[N] for overlap/fitness reporting.
+    For knn=1 the arrays pass through unflattened (K=1).
+    """
+    if cfg.knn > 1:
+        # knn matching runs on the MXU top-k path; hashgrid/pallas matchers
+        # are single-NN engines (reference KDTreeMatcher knn>1 ≙ stacked
+        # ErrorElements, MatchersImpl.cpp:118-133 + ErrorMinimizer.cpp).
+        idx, d2, ok = bruteforce.knn(src, mask, ref_grid.points,
+                                     cfg.max_correspondence_dist, k=cfg.knn)
+        per_point_found = jnp.any(ok, axis=-1)
+        k = cfg.knn
+        return (jnp.repeat(src, k, axis=0), jnp.repeat(src_nrm, k, axis=0),
+                jnp.repeat(mask, k), idx.reshape(-1), d2.reshape(-1),
+                ok.reshape(-1), per_point_found)
+    if cfg.matcher == "pallas":
+        from .. import pallas_nn
+
+        idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
+        found = jnp.logical_and(mask, d2 <= cfg.max_correspondence_dist**2)
+    elif cfg.matcher == "bruteforce":
+        idx, d2, found = bruteforce.nn(src, mask, ref_grid.points,
+                                       cfg.max_correspondence_dist)
+    else:
+        idx, d2, found = hashgrid.query_nn(
+            ref_grid, src, mask, cfg.max_correspondence_dist,
+            max_per_bucket=cfg.max_per_bucket,
+        )
+    return src, src_nrm, mask, idx, d2, found, found
 
 
 def reference_centroid(ref_grid: hashgrid.HashGrid) -> Array:
@@ -142,28 +203,22 @@ def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGr
     """
     src = se3.apply(T, source.xyz)
     src_nrm = se3.rotate(T, source.normals)
-    if cfg.matcher == "pallas":
-        from .. import pallas_nn
-
-        idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
-        found = jnp.logical_and(source.mask,
-                                d2 <= cfg.max_correspondence_dist**2)
-    elif cfg.matcher == "bruteforce":
-        idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
-                                       cfg.max_correspondence_dist)
-    else:
-        idx, d2, found = hashgrid.query_nn(
-            ref_grid, src, source.mask, cfg.max_correspondence_dist,
-            max_per_bucket=cfg.max_per_bucket,
-        )
+    src, src_nrm, slot_mask, idx, d2, found, per_point_found = _match(
+        cfg, src, src_nrm, source.mask, ref_grid)
     ref_pts = ref_grid.points[idx]
     ref_nrm = ref_grid.normals[idx]
-    w = _weights(cfg, d2, found, src_nrm, ref_nrm)
+    # Squared point-to-plane residual, consumed by RobustOutlierFilter's
+    # distanceType: point2plane (reference OutlierFiltersImpl.cpp:461-494).
+    pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
+    w = _weights(cfg, d2, found, src_nrm, ref_nrm,
+                 slot_mask=slot_mask, p2plane_sq=pp * pp)
 
     src_c = jnp.where(found[:, None], src - centroid, 0.0)
     ref_c = jnp.where(found[:, None], ref_pts - centroid, 0.0)
     if cfg.minimizer == "point_to_plane":
-        xi, mean_sq = minimizers.point_to_plane_step(src_c, ref_c, ref_nrm, w, cfg.damping)
+        xi, mean_sq = minimizers.point_to_plane_step(
+            src_c, ref_c, ref_nrm, w, cfg.damping,
+            force4dof=cfg.force4dof, force2d=cfg.force2d)
     elif cfg.minimizer == "point_to_point":
         xi, mean_sq = minimizers.point_to_point_step(src_c, ref_c, w)
     elif cfg.minimizer == "similarity":
@@ -214,7 +269,7 @@ def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGr
     T_new = shift @ dT @ se3.inverse(shift) @ T
 
     n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
-    match_ratio = jnp.sum(found.astype(jnp.float32)) / n_valid
+    match_ratio = jnp.sum(per_point_found.astype(jnp.float32)) / n_valid
     return T_new, rot_delta, trans_delta, match_ratio, jnp.sqrt(mean_sq)
 
 
@@ -322,13 +377,17 @@ def register_with_covariance(source: PointCloud, ref_grid: hashgrid.HashGrid,
     res = register(source, ref_grid, init_T, cfg)
     src = se3.apply(res.transform, source.xyz)
     src_nrm = se3.rotate(res.transform, source.normals)
-    idx, d2, found = bruteforce.nn(src, source.mask, ref_grid.points,
-                                   cfg.max_correspondence_dist)
+    # Same matcher selection as the solve loop (cfg.matcher / cfg.knn), so
+    # the covariance is evaluated over the correspondence set the solution
+    # actually used.
+    src, src_nrm, slot_mask, idx, d2, found, _ = _match(
+        cfg, src, src_nrm, source.mask, ref_grid)
+    ref_pts = ref_grid.points[idx]
     ref_nrm = ref_grid.normals[idx]
-    w = _weights(cfg, d2, found, src_nrm, ref_nrm)
-    ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
-    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
-    centroid = jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
+    pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
+    w = _weights(cfg, d2, found, src_nrm, ref_nrm,
+                 slot_mask=slot_mask, p2plane_sq=pp * pp)
+    centroid = reference_centroid(ref_grid)
     src_c = jnp.where(found[:, None], src - centroid, 0.0)
     if cfg.minimizer == "point_to_plane":
         cov = minimizers.point_to_plane_covariance(src_c, ref_nrm, w, sensor_std)

@@ -22,34 +22,55 @@ Array = jax.Array
 
 
 def solve_6x6(A: Array, b: Array, damping: float = 1e-6) -> Array:
-    """Solve A x = b for symmetric PSD 6x6 A with relative Tikhonov damping.
+    """Solve A x = b for symmetric PSD kxk A with relative Tikhonov damping.
 
     The reference falls back from SVD to QR on rank deficiency
     (PointToPlane.cpp:158-240); on TPU we instead regularize by a small
-    multiple of trace(A)/6, which keeps the solve branch-free.
+    multiple of trace(A)/k, which keeps the solve branch-free.
     """
-    scale = jnp.trace(A) / 6.0 + 1e-12
-    A_reg = A + (damping * scale) * jnp.eye(6, dtype=A.dtype)
+    k = A.shape[0]
+    scale = jnp.trace(A) / k + 1e-12
+    A_reg = A + (damping * scale) * jnp.eye(k, dtype=A.dtype)
     L, lower = jax.scipy.linalg.cho_factor(A_reg, lower=True)
     return jax.scipy.linalg.cho_solve((L, lower), b)
 
 
 def point_to_plane_step(src_xyz: Array, ref_xyz: Array, ref_normals: Array,
-                        weights: Array, damping: float = 1e-6):
+                        weights: Array, damping: float = 1e-6,
+                        force4dof: bool = False, force2d: bool = False):
     """One weighted point-to-plane Gauss-Newton step.
 
     Minimizes sum_i w_i (n_i . (p_i + omega x p_i + t - q_i))^2 over the
     twist xi = (omega, t).  Returns (xi f32[6], mean_sq_residual).
     (reference PointToPlane.cpp:108-156.)
+
+    force4dof restricts rotation to yaw: the rotational constraint row
+    collapses to (Gamma p).n = p_x n_y - p_y n_x and the solve is 4x4
+    (reference PointToPlane.cpp:124-135 matrixGamma).  force2d additionally
+    drops the z translation and projects residuals onto the XY plane
+    (reference PointToPlane.cpp:246-254 conservativeResize to 2D).
     """
+    cross = jnp.cross(src_xyz, ref_normals)  # [N,3]; z-row = px*ny - py*nx
     delta = src_xyz - ref_xyz
-    r = jnp.sum(delta * ref_normals, axis=-1)  # signed plane residual
-    cross = jnp.cross(src_xyz, ref_normals)
-    g = jnp.concatenate([cross, ref_normals], axis=-1)  # [N, 6]
+    if force2d:
+        r = jnp.sum(delta[:, :2] * ref_normals[:, :2], axis=-1)
+        g = jnp.concatenate([cross[:, 2:3], ref_normals[:, :2]], axis=-1)  # [N,3]
+    elif force4dof:
+        r = jnp.sum(delta * ref_normals, axis=-1)
+        g = jnp.concatenate([cross[:, 2:3], ref_normals], axis=-1)  # [N,4]
+    else:
+        r = jnp.sum(delta * ref_normals, axis=-1)  # signed plane residual
+        g = jnp.concatenate([cross, ref_normals], axis=-1)  # [N,6]
     wg = g * weights[:, None]
-    A = wg.T @ g  # 6x6
+    A = wg.T @ g
     b = -(wg.T @ r)
-    xi = solve_6x6(A, b, damping)
+    x = solve_6x6(A, b, damping)
+    if force2d:
+        xi = jnp.zeros((6,), src_xyz.dtype).at[2].set(x[0]).at[3].set(x[1]).at[4].set(x[2])
+    elif force4dof:
+        xi = jnp.zeros((6,), src_xyz.dtype).at[2].set(x[0]).at[3:].set(x[1:])
+    else:
+        xi = x
     wsum = jnp.maximum(jnp.sum(weights), 1e-6)
     mean_sq = jnp.sum(weights * r * r) / wsum
     return xi, mean_sq

@@ -18,22 +18,36 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def trimmed_dist_weights(sq_dists: Array, valid: Array, ratio: float) -> Array:
-    """Keep the best ``ratio`` fraction of valid matches by distance.
+def _dists_quantile(sq_dists: Array, valid: Array, ratio, slot_mask: Array = None) -> Array:
+    """``Matches::getDistsQuantile``: the distance value at floor(ratio * n)
+    of the sorted match-distance list.
 
-    (reference TrimmedDistOutlierFilter — OutlierFiltersImpl.cpp; computes
-    the distance quantile and zeroes matches above it.)
-    Masked-quantile over a fixed-size array: sort with +inf padding and read
-    the element at floor(ratio * n_valid).
+    The reference's quantile basis counts EVERY match slot of the (filtered)
+    reading — including not-found matches whose distance is +inf — so the
+    basis is ``slot_mask`` (valid reading lanes x knn), not just found
+    matches.  Not-found / padded slots sort as +inf.
     """
+    if slot_mask is None:
+        slot_mask = valid
     n = sq_dists.shape[-1]
     d = jnp.where(valid, sq_dists, jnp.inf)
+    # Padded lanes (beyond the reference's notion of N) sort after real infs
+    # is irrelevant — both are +inf; the INDEX basis is what must exclude them.
+    n_slots = jnp.sum(slot_mask.astype(jnp.int32), axis=-1)
     d_sorted = jnp.sort(d, axis=-1)
-    n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
-    kth = jnp.clip((ratio * n_valid.astype(jnp.float32)).astype(jnp.int32), 0, n - 1)
-    thresh = jnp.take_along_axis(d_sorted, kth[..., None], axis=-1)[..., 0]
-    w = jnp.logical_and(valid, d <= thresh[..., None]).astype(jnp.float32)
-    return w
+    kth = jnp.clip((ratio * n_slots.astype(jnp.float32)).astype(jnp.int32), 0, n - 1)
+    return jnp.take_along_axis(d_sorted, kth[..., None], axis=-1)[..., 0], d
+
+
+def trimmed_dist_weights(sq_dists: Array, valid: Array, ratio: float,
+                         slot_mask: Array = None) -> Array:
+    """Keep matches at or below the ``ratio`` distance quantile.
+
+    (reference TrimmedDistOutlierFilter — OutlierFiltersImpl.cpp:140-148;
+    ``dists <= getDistsQuantile(ratio)``.)
+    """
+    thresh, d = _dists_quantile(sq_dists, valid, ratio, slot_mask)
+    return jnp.logical_and(valid, d <= thresh[..., None]).astype(jnp.float32)
 
 
 def surface_normal_weights(src_normals: Array, ref_normals: Array, valid: Array,
@@ -60,12 +74,13 @@ def min_dist_weights(sq_dists: Array, valid: Array, min_dist: float) -> Array:
     return jnp.logical_and(valid, sq_dists >= min_dist**2).astype(jnp.float32)
 
 
-def median_dist_weights(sq_dists: Array, valid: Array, factor: float) -> Array:
-    """Keep matches below factor * median distance (MedianDistOutlierFilter)."""
-    d = jnp.sqrt(jnp.where(valid, sq_dists, jnp.nan))
-    med = jnp.nanmedian(d, axis=-1)
+def median_dist_weights(sq_dists: Array, valid: Array, factor: float,
+                        slot_mask: Array = None) -> Array:
+    """Keep matches below factor * median sq-distance (MedianDistOutlierFilter:
+    ``dists <= factor * getDistsQuantile(0.5)``)."""
+    med, d = _dists_quantile(sq_dists, valid, 0.5, slot_mask)
     ok = d <= factor * med[..., None]
-    return jnp.where(valid, jnp.nan_to_num(ok.astype(jnp.float32)), 0.0)
+    return jnp.logical_and(valid, ok).astype(jnp.float32)
 
 
 def var_trimmed_dist_weights(sq_dists: Array, valid: Array,
@@ -93,9 +108,48 @@ def var_trimmed_dist_weights(sq_dists: Array, valid: Array,
 
 # --- Robust M-estimator kernels (RobustOutlierFilter) ---------------------
 
-def robust_weights(sq_dists: Array, valid: Array, kind: str, k: float) -> Array:
-    """w(e) for M-estimator ``kind`` with tuning constant ``k`` (distance units)."""
-    e2 = sq_dists
+def robust_scale(sq_dists: Array, valid: Array, estimator: str) -> Array:
+    """Scale estimators of RobustOutlierFilter
+    (reference OutlierFiltersImpl.cpp:503-536):
+    mad  -> sqrt(median(|d2 - median(d2)|)),
+    std  -> sqrt(std(d2)),
+    none -> 1.  ('berg' needs the previous-iteration scale and is applied by
+    the caller from this same median seed.)
+
+    Estimated over the found matches (the reference's accessors iterate the
+    dists matrix whose +inf entries would poison the estimate).
+    """
+    d = jnp.where(valid, sq_dists, jnp.nan)
+    if estimator == "mad":
+        med = jnp.nanmedian(d, axis=-1)
+        mad = jnp.nanmedian(jnp.abs(d - med[..., None]), axis=-1)
+        return jnp.sqrt(jnp.maximum(mad, 1e-12))
+    if estimator == "std":
+        return jnp.sqrt(jnp.maximum(jnp.nanstd(d, axis=-1), 1e-12))
+    if estimator == "berg":
+        # First-iteration seed (ICP.cpp runs the filter fresh per compute()):
+        # 1.9 * sqrt(median d2); subsequent decay toward the target scale is
+        # stateful in the reference and approximated by the seed here.
+        med = jnp.nanmedian(d, axis=-1)
+        return 1.9 * jnp.sqrt(jnp.maximum(med, 1e-12))
+    return jnp.float32(1.0)
+
+
+def robust_weights(sq_dists: Array, valid: Array, kind: str, k: float,
+                   scale_estimator: str = "none",
+                   p2plane_sq: Array = None,
+                   distance_type: str = "point2point",
+                   approximation: float = float("inf")) -> Array:
+    """RobustOutlierFilter weights (reference OutlierFiltersImpl.cpp:497-594).
+
+    e2 = dist² / scale² where dist² is the match distance (point2point) or
+    the squared point-to-plane residual (distanceType: point2plane); ``k``
+    is the tuning constant applied exactly as the reference's formulas.
+    Matches beyond ``approximation`` (distance units) are zeroed.
+    """
+    dists = sq_dists if distance_type == "point2point" else p2plane_sq
+    scale = robust_scale(dists, valid, scale_estimator)
+    e2 = dists / jnp.maximum(scale * scale, 1e-20)
     k2 = k * k
     kind = kind.lower()
     if kind == "cauchy":
@@ -103,23 +157,24 @@ def robust_weights(sq_dists: Array, valid: Array, kind: str, k: float) -> Array:
     elif kind == "welsch":
         w = jnp.exp(-e2 / k2)
     elif kind in ("sc", "switchable", "switchableconstraint"):
-        w = jnp.where(e2 <= k2, 1.0, 4.0 * k2**2 / jnp.maximum(k2 + e2, 1e-12) ** 2)
+        # reference: w = 1 for e2 < k, else 4k² / (k + e2)².
+        w = jnp.where(e2 < k, 1.0, 4.0 * k2 / jnp.maximum(k + e2, 1e-12) ** 2)
     elif kind in ("gm", "gemanmcclure"):
-        w = k2 / jnp.maximum(k2 + e2, 1e-12) ** 2 * k2
-        w = w / jnp.maximum(jnp.max(w, axis=-1, keepdims=True), 1e-12)
+        w = k2 / jnp.maximum(k + e2, 1e-12) ** 2
     elif kind == "tukey":
-        w = jnp.where(e2 <= k2, (1.0 - e2 / k2) ** 2, 0.0)
+        w = jnp.where(e2 < k2, (1.0 - e2 / k2) ** 2, 0.0)
     elif kind == "huber":
         e = jnp.sqrt(jnp.maximum(e2, 1e-20))
-        w = jnp.where(e <= k, 1.0, k / e)
+        w = jnp.where(e2 < k2, 1.0, k / e)
     elif kind == "l1":
-        e = jnp.sqrt(jnp.maximum(e2, 1e-20))
-        w = 1.0 / jnp.maximum(e, 1e-6)
-        w = w / jnp.maximum(jnp.max(jnp.where(valid, w, 0.0), axis=-1, keepdims=True), 1e-12)
+        w = 1.0 / jnp.sqrt(jnp.maximum(e2, 1e-12))
     elif kind == "student":
-        dof = 5.0
-        w = (dof + 1.0) / (dof + e2 / k2)
-        w = w / jnp.max(w)
+        # reference: p = (1 + e2/k)^(-(k+d)/2), w = p (k+d)/(k+e2), d = 3.
+        d_dim = 3.0
+        p = jnp.power(1.0 + e2 / k, -(k + d_dim) / 2.0)
+        w = p * (k + d_dim) / jnp.maximum(k + e2, 1e-12)
     else:
         raise ValueError(f"unknown robust kernel: {kind}")
+    if approximation != float("inf"):
+        w = jnp.where(e2 >= approximation * approximation, 0.0, w)
     return jnp.where(valid, w, 0.0).astype(jnp.float32)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..models.pose_graph import PoseGraphArrays, _edge_residuals
+from ..models.pose_graph import PoseGraphArrays, assemble_normal_equations
 from ..utils import se3
 from .mesh import DATA_AXIS
 
@@ -32,24 +32,22 @@ def make_distributed_solver(mesh: Mesh, max_nodes: int, max_iterations: int = 30
     N = max_nodes
 
     def _edge_block(deltas, poses, e_src, e_dst, e_T, e_info, e_unc, e_mask, phi):
-        """Residual + dense Jacobian + weighted partial H,b for an edge shard."""
+        """Residual + analytic block Jacobians + weighted partial H,b for an
+        edge shard (same closed-form blocks as models.pose_graph.
+        edge_residuals_and_jacobians; no [6e,6N] materialization)."""
         X = poses @ se3.se3_exp(deltas)
-
-        def residual_of(d_flat):
-            Xl = poses @ se3.se3_exp(d_flat.reshape(N, 6))
-            rel = se3.inverse(Xl[e_src]) @ Xl[e_dst]
-            return se3.se3_log(se3.inverse(e_T) @ rel).reshape(-1)
-
-        r = residual_of(deltas.reshape(-1)).reshape(-1, 6)
+        rel = se3.inverse(X[e_src]) @ X[e_dst]
+        r = se3.se3_log(se3.inverse(e_T) @ rel)  # [e,6]
         chi2 = jnp.einsum("ei,eij,ej->e", r, e_info, r)
         s = jnp.where(e_unc, (phi / (phi + chi2)) ** 2, 1.0)
         s = jnp.where(e_mask, s, 0.0)
-        J = jax.jacfwd(residual_of)(deltas.reshape(-1))  # [6e, 6N]
-        E = e_T.shape[0]
-        Jr = J.reshape(E, 6, N * 6)
+        Jinv = se3.log_right_jacobian_inv(r)
+        Jj = Jinv
+        Ji = -(Jinv @ se3.adjoint(se3.inverse(rel)))
         W = e_info * s[:, None, None]
-        H_part = jnp.einsum("eik,eij,ejl->kl", Jr, W, Jr)
-        b_part = -jnp.einsum("eik,eij,ej->k", Jr, W, r)
+        Hb, b = assemble_normal_equations(r, Ji, Jj, W, e_src, e_dst, N)
+        H_part = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(N * 6, N * 6)
+        b_part = b.reshape(N * 6)
         cost_part = jnp.sum(s * chi2) + jnp.sum(
             jnp.where(e_unc & e_mask, phi * (1.0 - jnp.sqrt(s)) ** 2, 0.0))
         return (jax.lax.psum(H_part, DATA_AXIS),

@@ -83,7 +83,7 @@ def so3_exp(w: Array) -> Array:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
     # Taylor-safe coefficients.
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = skew(w)
@@ -149,7 +149,7 @@ def se3_exp(xi: Array) -> Array:
     v = xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
@@ -166,7 +166,7 @@ def se3_log(T: Array) -> Array:
     w = so3_log(rotation(T))
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = skew(w)
@@ -177,6 +177,45 @@ def se3_log(T: Array) -> Array:
     Vinv = I - 0.5 * W + coef[..., None, None] * W2
     v = jnp.einsum("...ij,...j->...i", Vinv, translation(T))
     return jnp.concatenate([w, v], axis=-1)
+
+
+def adjoint(T: Array) -> Array:
+    """Adjoint Ad_T [..., 6, 6] for twists ordered (omega, v):
+
+        Ad_T (omega, v) = (R omega, [t]x R omega + R v)
+        Ad = [[R, 0], [[t]x R, R]].
+    """
+    R = rotation(T)
+    t = translation(T)
+    tR = skew(t) @ R
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bottom = jnp.concatenate([tR, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def ad(xi: Array) -> Array:
+    """Algebra adjoint ad_xi [..., 6, 6] for twists (omega, v):
+    ad = [[ŵ, 0], [v̂, ŵ]]."""
+    W = skew(xi[..., :3])
+    V = skew(xi[..., 3:])
+    Z = jnp.zeros_like(W)
+    top = jnp.concatenate([W, Z], axis=-1)
+    bottom = jnp.concatenate([V, W], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def log_right_jacobian_inv(r: Array) -> Array:
+    """Inverse right Jacobian of the SE(3) log at twist r [..., 6]:
+    d/dxi log(exp(r̂) exp(xî))|_0 = Jr^{-1}(r).
+
+    Series form Jr^{-1} = I + 1/2 ad(r) + 1/12 ad(r)^2, exact to O(|r|^3) —
+    residuals near a pose-graph optimum are small, so this matches the
+    autodiff Jacobian to high order while costing two 6x6 matmuls.
+    """
+    a = ad(r)
+    I6 = jnp.eye(6, dtype=r.dtype)
+    return I6 + 0.5 * a + (1.0 / 12.0) * (a @ a)
 
 
 # ---------------------------------------------------------------------------

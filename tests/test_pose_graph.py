@@ -103,3 +103,36 @@ def test_serialization_roundtrip():
     assert len(restored.loop_closure_constraints) == 1
     np.testing.assert_allclose(restored.odometry_constraints[0].T_source_target,
                                prob.odometry_constraints[0].T_source_target)
+
+
+def test_scales_to_512_nodes():
+    """Analytic block assembly handles a 512-node loop without ever
+    materializing a [6E,6N] Jacobian (the old jacfwd path would build a
+    3072x3072-per-edge-row dense matrix and OOM-or-crawl here)."""
+    rng = np.random.default_rng(0)
+    n = 512
+    # Circle trajectory with noisy odometry and a handful of loop closures.
+    gt = [pose(50 * np.cos(2 * np.pi * i / n), 50 * np.sin(2 * np.pi * i / n),
+               2 * np.pi * i / n) for i in range(n)]
+    est = [gt[0]]
+    meas = []
+    for i in range(1, n):
+        noise = pose(*(rng.normal(0, 0.02, 2)), rng.normal(0, 0.002))
+        T_meas = rel(gt[i - 1], gt[i]) @ noise
+        meas.append(T_meas)
+        est.append((est[-1] @ T_meas).astype(np.float32))
+
+    prob = OptimizationProblem(max_nodes=512, max_edges=600)
+    prob.insert_odometry_constraints([
+        Constraint(i, i + 1, meas[i], np.eye(6, dtype=np.float32) * 100.0, True)
+        for i in range(n - 1)
+    ])
+    prob.insert_loop_closure_constraints([
+        Constraint(i, 0, rel(gt[i], gt[0]), np.eye(6, dtype=np.float32) * 100.0, False)
+        for i in (n // 4, n // 2, 3 * n // 4, n - 1)
+    ])
+    incs = prob.solve(est, max_iterations=15)
+    optimized = [incs[i] @ est[i] for i in range(n)]
+    err_before = np.linalg.norm(est[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    err_after = np.linalg.norm(optimized[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    assert err_after < 0.5 * err_before, f"{err_after} vs {err_before}"
