@@ -31,18 +31,56 @@ class ReplayFrame:
     odom_pose: Optional[np.ndarray] = None  # external odometry (None = scan2scan)
 
 
+def accumulate_range_data(frames: Iterable[ReplayFrame],
+                          num_accumulated: int = 1) -> Iterator[ReplayFrame]:
+    """Merge every ``num_accumulated`` consecutive scans into one frame.
+
+    ≙ DataProcessorRos scan accumulation (reference DataProcessorRos.cpp:
+    21-56, the ``num_accumulated_range_data`` rosparam): sparse multi-beam
+    sensors deliver partial sweeps; the processor buffers N clouds and
+    forwards their union stamped at the last cloud's time, with the last
+    frame's odometry pose.
+    """
+    from ..utils import pointcloud as pc
+
+    if num_accumulated <= 1:
+        yield from frames
+        return
+    buf: list = []
+    for frame in frames:
+        buf.append(frame)
+        if len(buf) < num_accumulated:
+            continue
+        merged = buf[0].scan
+        for f in buf[1:]:
+            merged = pc.concatenate(merged, f.scan)
+        yield ReplayFrame(time=buf[-1].time, scan=merged,
+                          odom_pose=buf[-1].odom_pose)
+        buf = []
+    if buf:
+        merged = buf[0].scan
+        for f in buf[1:]:
+            merged = pc.concatenate(merged, f.scan)
+        yield ReplayFrame(time=buf[-1].time, scan=merged,
+                          odom_pose=buf[-1].odom_pose)
+
+
 class ReplayRunner:
     def __init__(self, params: Optional[SlamParameters] = None,
                  output_dir: Optional[str] = None,
-                 print_progress: bool = True):
+                 print_progress: bool = True,
+                 num_accumulated_range_data: int = 1):
         self.slam = SlamWrapper(params)
         self.output_dir = output_dir
         self.print_progress = print_progress
+        self.num_accumulated_range_data = num_accumulated_range_data
         self.timer = Timer("scan")
 
     def run(self, frames: Iterable[ReplayFrame],
             initial_pose: Optional[np.ndarray] = None) -> SlamWrapper:
         slam = self.slam
+        if self.num_accumulated_range_data > 1:
+            frames = accumulate_range_data(frames, self.num_accumulated_range_data)
         first = True
         for i, frame in enumerate(frames):
             if first:

@@ -226,6 +226,11 @@ class PointCloud2:
         return {name: np.ascontiguousarray(rec[name]) for name in names}
 
     def to_pointcloud(self, capacity: Optional[int] = None) -> PointCloud:
+        """Typed PointCloud2 -> PointCloud, preserving descriptor channels
+        (intensity / rgb color / per-point time) like the reference's
+        RosPointCloud2Deserializer (pointmatcher_ros/src/
+        RosPointCloud2Deserializer.cpp: features + normals + colors +
+        intensity + time fields)."""
         cols = self.to_arrays()
         xyz = np.stack([cols["x"], cols["y"], cols["z"]], -1).astype(np.float32)
         finite = np.isfinite(xyz).all(-1)
@@ -233,8 +238,34 @@ class PointCloud2:
         if all(k in cols for k in ("normal_x", "normal_y", "normal_z")):
             normals = np.stack([cols["normal_x"], cols["normal_y"],
                                 cols["normal_z"]], -1).astype(np.float32)
+        attrs = {}
+        if "intensity" in cols:
+            attrs["intensity"] = cols["intensity"].astype(np.float32).reshape(-1)
+        # Per-point time: drivers name it "t" (Ouster, ns u32), "time"
+        # (Velodyne, s f32), or "timestamp"; normalize to seconds from the
+        # scan's first point.
+        for tname in ("t", "time", "timestamp", "time_offset"):
+            if tname in cols:
+                t = cols[tname].astype(np.float64).reshape(-1)
+                t = t - (t[finite].min() if finite.any() else 0.0)
+                if t.max(initial=0.0) > 10.0:  # nanoseconds or microseconds
+                    t = t / (1e9 if t.max() > 1e7 else 1e6)
+                attrs["t"] = t.astype(np.float32)
+                break
+        if "rgb" in cols or "rgba" in cols:
+            # Packed float RGB (PCL convention): reinterpret as u32.
+            packed = cols.get("rgb", cols.get("rgba"))
+            u = packed.astype(np.float32).reshape(-1).view(np.uint32)
+            attrs["r"] = ((u >> 16) & 0xFF).astype(np.float32) / 255.0
+            attrs["g"] = ((u >> 8) & 0xFF).astype(np.float32) / 255.0
+            attrs["b"] = (u & 0xFF).astype(np.float32) / 255.0
+        elif all(k in cols for k in ("r", "g", "b")):
+            for k in ("r", "g", "b"):
+                c = cols[k].astype(np.float32).reshape(-1)
+                attrs[k] = c / 255.0 if c.max(initial=0.0) > 1.0 else c
         xyz = np.where(finite[:, None], xyz, 0.0)
-        return make_cloud(xyz, normals=normals, mask=finite, capacity=capacity)
+        return make_cloud(xyz, normals=normals, mask=finite, capacity=capacity,
+                          attrs=attrs or None)
 
 
 @dataclasses.dataclass
@@ -477,6 +508,15 @@ def serialize_pointcloud2(cloud: PointCloud, stamp: float,
         nrm = np.asarray(cloud.normals, np.float32)[mask]
     n = xyz.shape[0]
     names = ["x", "y", "z"] + (["normal_x", "normal_y", "normal_z"] if nrm is not None else [])
+    # Descriptor channels round-trip as their driver field names; color goes
+    # out as separate float r/g/b columns (lossless vs packed-u8 rgb).
+    attr_cols = {}
+    if cloud.attrs is not None:
+        block = np.asarray(cloud.attrs, np.float32)[mask]
+        for i, aname in enumerate(cloud.attr_names):
+            field = "time" if aname == "t" else aname
+            attr_cols[field] = block[:, i]
+        names += list(attr_cols)
     point_step = 4 * len(names)
     rec = np.zeros(n, dtype=np.dtype({"names": names,
                                       "formats": ["f4"] * len(names),
@@ -485,6 +525,8 @@ def serialize_pointcloud2(cloud: PointCloud, stamp: float,
     rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     if nrm is not None:
         rec["normal_x"], rec["normal_y"], rec["normal_z"] = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+    for field, col in attr_cols.items():
+        rec[field] = col
     body = rec.tobytes()
 
     out = bytearray()

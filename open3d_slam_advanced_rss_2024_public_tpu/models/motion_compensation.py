@@ -47,16 +47,29 @@ def undistort(scan: PointCloud, twist: Array, is_spinning_clockwise: bool = True
     scan period, expressed in the sensor frame.  Points measured earlier in
     the sweep are corrected forward to the scan-end frame (the reference
     timestamps scans at the end of the sweep).
+
+    When the scan carries a per-point time channel ``t`` (seconds relative
+    to scan start, as deserialized from PointCloud2), the phase is exact:
+    t_i / sweep_span, replacing the azimuth inference — the precise variant
+    of the reference's computePhase (MotionCompensation.cpp:129-148, which
+    infers phase from azimuth because its clouds lack per-point stamps).
     """
-    phase = compute_phase(scan.xyz, is_spinning_clockwise)
+    import dataclasses as _dc
+
+    if scan.has_attr("t"):
+        t = scan.attr("t")
+        span = jnp.maximum(jnp.max(jnp.where(scan.mask, t, 0.0)), 1e-6)
+        phase = jnp.clip(t / span, 0.0, 1.0)
+    else:
+        phase = compute_phase(scan.xyz, is_spinning_clockwise)
     alpha = (phase - 1.0)[:, None]  # 0 for the newest points, -1 for oldest
     T = se3.se3_exp(alpha * twist[None, :])  # [N,4,4]
     xyz = jnp.einsum("nij,nj->ni", T[:, :3, :3], scan.xyz) + T[:, :3, 3]
     nrm = jnp.einsum("nij,nj->ni", T[:, :3, :3], scan.normals)
-    return PointCloud(
+    return _dc.replace(
+        scan,
         xyz=jnp.where(scan.mask[:, None], xyz, scan.xyz),
         normals=jnp.where(scan.mask[:, None], nrm, 0.0),
-        mask=scan.mask,
     )
 
 

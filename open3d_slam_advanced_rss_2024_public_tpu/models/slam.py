@@ -75,6 +75,8 @@ class SlamWrapper:
         self._pending_increments = None
         self.trajectory_times: List[float] = []
         self.trajectory_poses: List[np.ndarray] = []
+        # Online bookkeeping so finish_processing can drain exactly.
+        self._scans_accepted = 0
 
     # ------------------------------------------------------------------ feeds
 
@@ -88,6 +90,7 @@ class SlamWrapper:
         (≙ addRangeScan, SlamWrapper.cpp:217-251)."""
         try:
             self.odometry_queue.put_nowait(TimestampedScan(scan, time))
+            self._scans_accepted += 1
             return True
         except queue.Full:
             return False  # ≙ bounded CircularBuffer drop
@@ -244,11 +247,30 @@ class SlamWrapper:
                 except queue.Empty:
                     continue
                 scan = self._motion_compensate(item.scan)
-                self.mapper.add_range_measurement(scan, item.time)
+                ok = self.mapper.add_range_measurement(scan, item.time)
                 self.trajectory_times.append(item.time)
                 self.trajectory_poses.append(self.mapper.map_to_range_sensor.copy())
+                if ok and self.params.mapper.mapper_localizer.is_build_dense_map:
+                    try:
+                        # Registered scan + its refined pose; the dense worker
+                        # fuses off the critical path (≙ registeredCloudBuffer_
+                        # push, SlamWrapper.cpp:691).
+                        self.dense_queue.put_nowait(
+                            (scan, self.mapper.map_to_range_sensor.copy()))
+                    except queue.Full:
+                        pass  # bounded buffer: drop, like the reference
                 self.compute_features_if_ready()
                 self.check_if_optimized_graph_available()
+
+        def dense_worker():
+            # ≙ denseMapWorker (SlamWrapper.cpp:1014-1037): consume registered
+            # scans and fuse them into the active submap's dense layer.
+            while not self._stop.is_set():
+                try:
+                    scan, pose = self.dense_queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self.mapper.submaps.insert_dense(scan.transform(jnp.asarray(pose)))
 
         def lc_worker():
             while not self._stop.is_set():
@@ -256,10 +278,34 @@ class SlamWrapper:
                     self.attempt_loop_closures_if_ready()
                 _time.sleep(0.02)
 
-        for fn, name in ((odom_worker, "odom"), (map_worker, "map"), (lc_worker, "lc")):
+        for fn, name in ((odom_worker, "odom"), (map_worker, "map"),
+                         (dense_worker, "dense"), (lc_worker, "lc")):
             t = threading.Thread(target=fn, name=f"slam-{name}", daemon=True)
             t.start()
             self._workers.append(t)
+
+    def start_pose_stream(self, callback, rate_hz: float = 200.0) -> None:
+        """Fixed-rate map->sensor pose output stream.
+
+        ≙ the ROS wrapper's tfWorker, which republishes the interpolated
+        map->odom->sensor transform at 200 Hz independently of scan arrival
+        (reference SlamWrapperRos.cpp:147-192).  ``callback(time, pose4x4)``
+        receives the latest (possibly extrapolated) pose; wire it to any
+        transport (viz export, IPC, network).
+        """
+
+        def pose_worker():
+            period = 1.0 / rate_hz
+            while not self._stop.is_set():
+                buf = self.mapper.map_to_range_sensor_buffer
+                if len(buf) > 0:
+                    t, T = buf.items()[-1]
+                    callback(t, np.asarray(T))
+                _time.sleep(period)
+
+        t = threading.Thread(target=pose_worker, name="slam-pose-stream", daemon=True)
+        t.start()
+        self._workers.append(t)
 
     def stop_workers(self) -> None:
         self._stop.set()
@@ -271,9 +317,17 @@ class SlamWrapper:
         """Drain queues, close the last submap, final LC + optimization
         (≙ finishProcessing / offlineFinishProcessing, SlamWrapper.cpp:
         300-380)."""
-        deadline = _time.time() + 10.0
-        while (not self.odometry_queue.empty() or not self.mapping_queue.empty()) \
-                and _time.time() < deadline:
+        deadline = _time.time() + 30.0
+        # Drain: every accepted scan must have produced a trajectory entry
+        # (the map worker appends one per scan), and the queues must be empty
+        # — queue.empty() alone races with the in-flight item the worker
+        # already popped (≙ the reference's stopWorkers join semantics).
+        while _time.time() < deadline:
+            drained = (self.odometry_queue.empty() and self.mapping_queue.empty()
+                       and self.dense_queue.empty())
+            if drained and (not self._workers
+                            or len(self.trajectory_poses) >= self._scans_accepted):
+                break
             _time.sleep(0.05)
         sc = self.mapper.submaps
         if sc.submaps and sc.active_submap.n_scans > 0 and len(sc.submaps) >= 1:

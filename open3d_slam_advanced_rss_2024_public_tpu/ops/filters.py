@@ -107,10 +107,17 @@ def voxel_downsample(cloud: PointCloud, voxel_size, capacity: int) -> PointCloud
     nrm_len = jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True)
     mean_nrm = jnp.where(nrm_len > 1e-6, mean_nrm / (nrm_len + 1e-12), 0.0)
     seg_valid = cnt > 0
+    mean_attrs = None
+    if cloud.attrs is not None:
+        sum_attrs = jax.ops.segment_sum(cloud.attrs[order] * w[:, None], seg,
+                                        num_segments=n)
+        mean_attrs = jnp.where(seg_valid[:, None], sum_attrs / denom, 0.0)
     out = PointCloud(
         xyz=jnp.where(seg_valid[:, None], mean_xyz, SENTINEL),
         normals=jnp.where(seg_valid[:, None], mean_nrm, 0.0),
         mask=seg_valid,
+        attrs=mean_attrs,
+        attr_names=cloud.attr_names if mean_attrs is not None else (),
     )
     return compact(out, capacity)
 

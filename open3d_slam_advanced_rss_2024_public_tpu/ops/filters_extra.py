@@ -85,20 +85,28 @@ def orient_normals(cloud: PointCloud, sensor=(0.0, 0.0, 0.0),
 
 
 def with_observation_direction(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> PointCloud:
-    """Registry entry point for ObservationDirectionDataPointsFilter.
-
-    The direction itself is available via :func:`observation_direction`;
-    as a pipeline stage the filter only adds a descriptor (geometry is
-    unchanged), and downstream consumers (OrientNormals, point-to-plane)
-    are sign-invariant, so the cloud passes through.
-    """
+    """Registry entry point for ObservationDirectionDataPointsFilter:
+    stores the point->sensor unit direction as descriptor channels
+    ``observationDirections_{x,y,z}`` (≙ the reference's
+    observationDirections descriptor; geometry unchanged)."""
+    d = observation_direction(cloud, sensor)
+    for i, ax in enumerate("xyz"):
+        cloud = cloud.with_attr(f"observationDirections_{ax}", d[:, i])
     return cloud
 
 
 def with_incidence_angle(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> PointCloud:
-    """Registry entry point for IncidenceAngleDataPointsFilter (descriptor
-    producer; see :func:`incidence_angle` for the values)."""
-    return cloud
+    """Registry entry point for IncidenceAngleDataPointsFilter: stores the
+    ``incidenceAngles`` descriptor channel (≙ IncidenceAngle.cpp)."""
+    return cloud.with_attr("incidenceAngles", incidence_angle(cloud, sensor))
+
+
+def with_simple_sensor_noise(cloud: PointCloud, sensor_type: str = "lms",
+                             gain: float = 1.0) -> PointCloud:
+    """Registry entry point for SimpleSensorNoiseDataPointsFilter: stores the
+    ``simpleSensorNoise`` sigma channel (≙ SimpleSensorNoise.cpp)."""
+    return cloud.with_attr(
+        "simpleSensorNoise", simple_sensor_noise(cloud, sensor_type, gain))
 
 
 def incidence_angle(cloud: PointCloud, sensor=(0.0, 0.0, 0.0)) -> Array:

@@ -153,7 +153,7 @@ def _f_sampling_surface_normal(cloud, key, p):
 
 def _f_orient_normals(cloud, key, p):
     return filters_extra.orient_normals(
-        cloud, toward_center=bool(int(p.get("towardCenter", 1))))
+        cloud, toward_sensor=bool(int(p.get("towardCenter", 1))))
 
 
 def _f_observation_direction(cloud, key, p):
@@ -187,9 +187,11 @@ def _f_shadow(cloud, key, p):
 
 
 def _f_sensor_noise(cloud, key, p):
-    return filters_extra.simple_sensor_noise(
-        cloud, sensor_type=str(p.get("sensorType", "lms")),
-        gain=float(p.get("gain", 1.0)))
+    # sensorType codes (reference SimpleSensorNoise.cpp): 0=LMS, 1=HDL, ...
+    st = p.get("sensorType", "lms")
+    st = {0: "lms", 1: "hdl"}.get(int(st), "other") if str(st).isdigit() else str(st)
+    return filters_extra.with_simple_sensor_noise(
+        cloud, sensor_type=st, gain=float(p.get("gain", 1.0)))
 
 
 def _f_voxel_grid(cloud, key, p):

@@ -63,11 +63,30 @@ def _lex_order(vkey: Array) -> Array:
 
 @partial(jax.jit, static_argnames=())
 def insert(vmap: VoxelMap, scan: PointCloud, voxel_size) -> VoxelMap:
-    """Fuse a scan (already in map frame) into the voxel map."""
+    """Fuse a scan (already in map frame) into the voxel map.
+
+    Descriptor channels (color/intensity — ≙ AggregatedVoxel::aggregateColor,
+    reference Voxel.hpp:19-80) fuse with the same weighted running mean as
+    positions.  Channel set is taken from the first non-empty side; when both
+    carry attrs they are aligned to the common channels.
+    """
+    from ..utils import pointcloud as pc
+
     C = vmap.capacity
-    xyz = jnp.concatenate([vmap.cloud.xyz, scan.xyz], axis=0)
-    nrm = jnp.concatenate([vmap.cloud.normals, scan.normals], axis=0)
-    mask = jnp.concatenate([vmap.cloud.mask, scan.mask], axis=0)
+    map_cloud = vmap.cloud
+    if map_cloud.attrs is None and scan.attrs is not None:
+        # Adopt the scan's channel set (typical: empty map + colored scans).
+        map_cloud = dataclasses.replace(
+            map_cloud,
+            attrs=jnp.zeros((C, scan.attrs.shape[-1]), jnp.float32),
+            attr_names=scan.attr_names)
+    map_cloud, scan = pc._align_attrs(map_cloud, scan)
+    xyz = jnp.concatenate([map_cloud.xyz, scan.xyz], axis=0)
+    nrm = jnp.concatenate([map_cloud.normals, scan.normals], axis=0)
+    mask = jnp.concatenate([map_cloud.mask, scan.mask], axis=0)
+    attrs = None
+    if map_cloud.attrs is not None:
+        attrs = jnp.concatenate([map_cloud.attrs, scan.attrs], axis=0)
     w = jnp.concatenate([vmap.weight, jnp.ones((scan.capacity,), jnp.float32)], axis=0)
     w = jnp.where(mask, w, 0.0)
     n = xyz.shape[0]
@@ -89,6 +108,10 @@ def insert(vmap: VoxelMap, scan: PointCloud, voxel_size) -> VoxelMap:
     mean_nrm = sum_nrm / denom
     nlen = jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True)
     mean_nrm = jnp.where(nlen > 1e-6, mean_nrm / (nlen + 1e-12), 0.0)
+    mean_attrs = None
+    if attrs is not None:
+        sum_attrs = jax.ops.segment_sum(attrs[order] * sw[:, None], seg, num_segments=n)
+        mean_attrs = sum_attrs / denom
     occupied = sum_w > 0
 
     # Keep the top-C voxels by weight when over capacity (stable backbone).
@@ -99,6 +122,9 @@ def insert(vmap: VoxelMap, scan: PointCloud, voxel_size) -> VoxelMap:
         xyz=jnp.where(keep_mask[:, None], mean_xyz[top], SENTINEL),
         normals=jnp.where(keep_mask[:, None], mean_nrm[top], 0.0),
         mask=keep_mask,
+        attrs=None if mean_attrs is None
+        else jnp.where(keep_mask[:, None], mean_attrs[top], 0.0),
+        attr_names=map_cloud.attr_names if mean_attrs is not None else (),
     )
     return VoxelMap(cloud=cloud, weight=jnp.where(keep_mask, sum_w[top], 0.0))
 

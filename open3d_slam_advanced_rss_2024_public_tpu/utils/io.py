@@ -130,6 +130,10 @@ def save_ply(path: str, cloud: PointCloud, binary: bool = True,
     from .pointcloud import to_numpy
 
     xyz, normals = to_numpy(cloud)
+    if colors is None and all(cloud.has_attr(k) for k in ("r", "g", "b")):
+        mask = np.asarray(cloud.mask)
+        rgb = np.stack([np.asarray(cloud.attr(k))[mask] for k in ("r", "g", "b")], -1)
+        colors = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
     has_n = np.any(np.abs(normals) > 1e-9)
     n = xyz.shape[0]
     props = ["property float x", "property float y", "property float z"]
@@ -174,7 +178,7 @@ def save_ply(path: str, cloud: PointCloud, binary: bool = True,
 
 def load_ply(path: str, capacity: Optional[int] = None) -> PointCloud:
     """Read PLY (ascii / binary_little_endian) vertex clouds with optional
-    normals; colors and extra properties are skipped."""
+    normals; red/green/blue colors load into r/g/b attrs ([0,1])."""
     with open(path, "rb") as f:
         if f.readline().strip() != b"ply":
             raise ValueError(f"{path}: not a PLY file")
@@ -219,7 +223,11 @@ def load_ply(path: str, capacity: Optional[int] = None) -> PointCloud:
     normals = None
     if all(k in names for k in ("nx", "ny", "nz")):
         normals = np.stack([get("nx"), get("ny"), get("nz")], axis=-1)
-    return make_cloud(xyz, normals=normals, capacity=capacity)
+    attrs = None
+    if all(k in names for k in ("red", "green", "blue")):
+        attrs = {k: get(src) / 255.0
+                 for k, src in (("r", "red"), ("g", "green"), ("b", "blue"))}
+    return make_cloud(xyz, normals=normals, capacity=capacity, attrs=attrs)
 
 
 def save_vtk(path: str, cloud: PointCloud) -> None:

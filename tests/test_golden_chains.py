@@ -1,0 +1,75 @@
+"""Golden-chain ICP regression against the reference's committed transforms.
+
+The reference's strongest correctness instrument: every YAML chain config in
+libpointmatcher/examples/data/icp_data/ is run on cloud.00000.vtk ->
+cloud.00001.vtk and the result compared with the committed .ref_trans golden
+transform using the median-relative-error protocol of
+utest/ui/icp/GeneralTests.cpp:36-150 (rel err of curT*data vs refT*data
+< 5%).
+
+We load the reference's YAML files *unchanged* through chain.from_yaml — a
+user's tuned libpointmatcher config drops in as-is.
+"""
+import glob
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from open3d_slam_advanced_rss_2024_public_tpu.ops.registration import chain as chain_mod
+from open3d_slam_advanced_rss_2024_public_tpu.utils import io as uio
+
+DATA = "/root/reference/libpointmatcher/examples/data"
+ICP_DATA = os.path.join(DATA, "icp_data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ICP_DATA), reason="reference icp_data not available")
+
+_ALL_CONFIGS = sorted(
+    os.path.basename(p)[:-5] for p in glob.glob(os.path.join(ICP_DATA, "*.yaml")))
+
+# Fast smoke subset exercising distinct minimizers/outlier paths; the full
+# sweep is compile-heavy (one distinct XLA program per chain) and marked slow.
+_SMOKE = [
+    "defaultIdentityDataPointsFilter",        # p2plane + sampling-surface-normal
+    "defaultRobustOutlierFilter",             # robust M-estimator + p2point
+    "force4DOFForPointToPlaneMinimizer",      # knn=10, 4DOF, bound checker
+]
+
+
+_clouds = {}
+
+
+def _load_clouds():
+    if not _clouds:
+        _clouds["ref"] = uio.load_cloud(os.path.join(DATA, "cloud.00000.vtk"))
+        _clouds["data"] = uio.load_cloud(os.path.join(DATA, "cloud.00001.vtk"))
+    return _clouds["ref"], _clouds["data"]
+
+
+def _check_golden(name: str):
+    ref, data = _load_clouds()
+    yml = os.path.join(ICP_DATA, name + ".yaml")
+    ref_T = np.loadtxt(yml[:-5] + ".ref_trans").reshape(4, 4)
+    ch = chain_mod.from_yaml(yml)
+    result = ch.register(data, ref, jnp.eye(4))
+    cur_T = np.asarray(result.transform)
+    # Median-relative-error protocol (GeneralTests.cpp:120-150).
+    pts = np.asarray(data.xyz)[np.asarray(data.mask)]
+    h = np.concatenate([pts, np.ones((len(pts), 1))], 1).T
+    med_diff = np.median(np.abs(cur_T @ h - ref_T @ h))
+    med_data = np.median(np.abs(cur_T @ h))
+    rel_err = med_diff / med_data
+    assert rel_err < 0.05, f"{name}: rel_err {rel_err:.4f} >= 0.05"
+
+
+@pytest.mark.parametrize("name", _SMOKE)
+def test_golden_chain_smoke(name):
+    _check_golden(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [c for c in _ALL_CONFIGS if c not in _SMOKE])
+def test_golden_chain_full(name):
+    _check_golden(name)
