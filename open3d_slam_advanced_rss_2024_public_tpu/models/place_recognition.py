@@ -26,8 +26,34 @@ from ..ops.registration.ransac import (
     information_matrix_from_point_clouds, register_features)
 from ..utils import se3
 from ..utils.config import MapperParameters
+from ..utils.pointcloud import PointCloud, compact
 from .pose_graph import Constraint
 from .submap import AdjacencyMatrix, Submap
+
+# ≙ the reference's magic constants (include/open3d_slam/magic.hpp:12-17).
+VOXEL_SIZE_IF_MAP_VOXEL_ZERO = 0.04
+EXPANSION_FACTOR_OVERLAP = 20.0
+EXPANSION_FACTOR_ICP_CORRESPONDENCE = 1.5
+RUN_UNTIL_CONVERGENCE_ITERS = 100
+
+
+def overlap_clouds(a: PointCloud, b: PointCloud, voxel_size: float,
+                   capacity: int, T_a: Optional[jnp.ndarray] = None):
+    """Restrict two map-frame clouds to their mutual voxel overlap and
+    compact to a fixed capacity.  ``T_a`` pre-transforms ``a`` for the
+    overlap test only (the returned cloud stays in a's frame).
+
+    ≙ computeIndicesOfOverlappingPoints + SelectByIndex
+    (reference helpers.cpp:320-345, constraint_builders.cpp:51-58,
+    PlaceRecognition.cpp:100-106).
+    """
+    a_probe = a if T_a is None else a.transform(T_a)
+    grid_b = hashgrid.build(b, voxel_size)
+    in_b = hashgrid.occupied_voxel_lookup(grid_b, a_probe.xyz, a_probe.mask)
+    grid_a = hashgrid.build(a_probe, voxel_size)
+    in_a = hashgrid.occupied_voxel_lookup(grid_a, b.xyz, b.mask)
+    return (compact(a.with_mask(in_b), capacity),
+            compact(b.with_mask(in_a), capacity))
 
 
 class PlaceRecognition:
@@ -40,6 +66,12 @@ class PlaceRecognition:
             minimizer="point_to_plane",
         )
         self._rng = np.random.RandomState(7)
+
+    def _map_voxel_size(self) -> float:
+        """≙ getMapVoxelSize with the magic fallback when the map is
+        unvoxelized (constraint_builders.cpp:34-36)."""
+        v = float(self.params.map_builder.map_voxel_size)
+        return v if v > 0 else VOXEL_SIZE_IF_MAP_VOXEL_ZERO
 
     # -- candidate gating (≙ getLoopClosureCandidatesIdxs, :231-285) --------
 
@@ -113,11 +145,19 @@ class PlaceRecognition:
             # so T itself is the correction).
             if not self.is_consistent(T_np):
                 continue
-            # ICP refinement restricted to overlap.
-            cand_grid = hashgrid.build(cand.feature_cloud,
-                                       self.refine_cfg.max_correspondence_dist)
-            res = register(query.feature_cloud, cand_grid, jnp.asarray(T_np),
-                           self.refine_cfg)
+            # ICP refinement on overlap-restricted FULL-RESOLUTION map clouds
+            # (≙ PlaceRecognition.cpp:97-121: getMapPointCloudCopy + overlap
+            # + registerClouds), not the sparse feature clouds — tighter
+            # transform and a meaningful fitness.
+            voxel_for_overlap = EXPANSION_FACTOR_OVERLAP * self._map_voxel_size()
+            q_ov, c_ov = overlap_clouds(
+                query.map.cloud, cand.map.cloud, voxel_for_overlap,
+                pr.overlap_point_capacity, T_a=jnp.asarray(T_np))
+            if int(q_ov.count()) < pr.ransac_min_corresondence_set_size or \
+               int(c_ov.count()) < pr.ransac_min_corresondence_set_size:
+                continue
+            cand_grid = hashgrid.build(c_ov, self.refine_cfg.max_correspondence_dist)
+            res = register(q_ov, cand_grid, jnp.asarray(T_np), self.refine_cfg)
             fitness = float(res.match_ratio)
             if fitness < pr.min_icp_refinement_fitness:
                 continue
@@ -125,7 +165,7 @@ class PlaceRecognition:
             if not self.is_consistent(T_refined):
                 continue
             info, n_matched = information_matrix_from_point_clouds(
-                query.feature_cloud.xyz, query.feature_cloud.mask, cand_grid,
+                q_ov.xyz, q_ov.mask, cand_grid,
                 jnp.asarray(T_refined), pr.max_icp_correspondence_distance)
             # Relative constraint between submap frames:
             # T_refined corrects query's map-frame cloud onto cand's; convert
@@ -138,20 +178,75 @@ class PlaceRecognition:
                 source_id=cand.submap_id,
                 target_id=query.submap_id,
                 T_source_target=T_rel.astype(np.float32),
-                information=np.asarray(info, np.float32) / max(float(n_matched), 1.0),
+                # Raw correspondence-sum information (Open3D
+                # GetInformationMatrixFromPointClouds semantics) so odometry
+                # and loop-closure edges carry comparable, data-driven weight.
+                information=np.asarray(info, np.float32),
                 is_odometry=False,
             ))
         return out
 
 
+def build_odometry_constraint(parent: Submap, child: Submap,
+                              map_voxel_size: float,
+                              overlap_capacity: int = 16384,
+                              refine: bool = False) -> Constraint:
+    """One parent->child odometry edge with an overlap-computed information
+    matrix and optional ICP refinement.
+
+    ≙ buildOdometryConstraint / buildConstraint (reference
+    constraint_builders.cpp:33-90): overlap-restricted map clouds (voxel
+    20x map voxel), optional point-to-plane ICP run to convergence at
+    1.5x-map-voxel correspondence distance, information matrix via
+    GetInformationMatrixFromPointClouds on the overlap clouds.
+    """
+    v = map_voxel_size if map_voxel_size > 0 else VOXEL_SIZE_IF_MAP_VOXEL_ZERO
+    icp_max_dist = EXPANSION_FACTOR_ICP_CORRESPONDENCE * v
+    voxel_overlap = EXPANSION_FACTOR_OVERLAP * v
+    p_ov, c_ov = overlap_clouds(parent.map.cloud, child.map.cloud,
+                                voxel_overlap, overlap_capacity)
+    T_corr = np.eye(4, dtype=np.float64)
+    info = np.eye(6, dtype=np.float32)
+    n_p, n_c = int(p_ov.count()), int(c_ov.count())
+    if n_p > 10 and n_c > 10:
+        c_grid = hashgrid.build(c_ov, icp_max_dist)
+        if refine:
+            cfg = ICPConfig(max_iterations=RUN_UNTIL_CONVERGENCE_ITERS,
+                            max_correspondence_dist=icp_max_dist,
+                            minimizer="point_to_plane")
+            res = register(p_ov, c_grid, jnp.eye(4), cfg)
+            T_corr = np.asarray(res.transform, np.float64)
+        info_j, _ = information_matrix_from_point_clouds(
+            p_ov.xyz, p_ov.mask, c_grid, jnp.asarray(T_corr, jnp.float32),
+            icp_max_dist)
+        info = np.asarray(info_j, np.float32)
+        # Guard: a degenerate overlap yields a singular matrix; keep the
+        # edge solvable (the reference relies on Open3D's identity fallback).
+        if not np.isfinite(info).all() or np.trace(info) < 1.0:
+            info = np.eye(6, dtype=np.float32)
+    # The clouds live in the map frame, so T_corr corrects the parent side
+    # in map frame; fold it into the relative measurement.
+    X_p = T_corr @ parent.pose.astype(np.float64)
+    T_rel = np.linalg.inv(X_p) @ child.pose.astype(np.float64)
+    return Constraint(
+        source_id=parent.submap_id,
+        target_id=child.submap_id,
+        T_source_target=T_rel.astype(np.float32),
+        information=info,
+        is_odometry=True,
+    )
+
+
 def compute_odometry_constraints(submaps: List[Submap],
-                                 finished_ids: List[int]) -> List[Constraint]:
+                                 finished_ids: List[int],
+                                 map_voxel_size: float = 0.0,
+                                 overlap_capacity: int = 16384,
+                                 refine: bool = False) -> List[Constraint]:
     """Parent->child odometry constraints for finished submaps.
 
-    ≙ computeOdometryConstraints + buildOdometryConstraint
-    (reference constraint_builders.cpp:33-119): the relative pose between
-    the parent submap frame and the finished submap frame at finish time,
-    treated as a certain edge.
+    ≙ computeOdometryConstraints (reference constraint_builders.cpp:92-119):
+    one edge per finished submap from its parent, skipping roots and
+    duplicates (dedup happens in OptimizationProblem.insert).
     """
     out = []
     for idx in finished_ids:
@@ -165,12 +260,6 @@ def compute_odometry_constraints(submaps: List[Submap],
                 break
         if parent is None:
             continue
-        T_rel = np.linalg.inv(parent.pose.astype(np.float64)) @ sm.pose.astype(np.float64)
-        out.append(Constraint(
-            source_id=parent.submap_id,
-            target_id=sm.submap_id,
-            T_source_target=T_rel.astype(np.float32),
-            information=np.eye(6, dtype=np.float32) * 1e3,
-            is_odometry=True,
-        ))
+        out.append(build_odometry_constraint(parent, sm, map_voxel_size,
+                                             overlap_capacity, refine))
     return out

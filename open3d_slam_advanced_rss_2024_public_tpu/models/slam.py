@@ -155,7 +155,12 @@ class SlamWrapper:
             return
         finished = [idx for idx, _ in sc.finished_queue]
         sc.compute_features_for_finished()
-        odo = compute_odometry_constraints(sc.submaps, finished)
+        mp = self.params.mapper
+        odo = compute_odometry_constraints(
+            sc.submaps, finished,
+            map_voxel_size=mp.map_builder.map_voxel_size,
+            overlap_capacity=mp.place_recognition.overlap_point_capacity,
+            refine=mp.mapper_localizer.is_refine_odometry_constraints_between_submaps)
         self.optimization.insert_odometry_constraints(odo)
 
     def attempt_loop_closures_if_ready(self) -> None:

@@ -44,17 +44,32 @@ def _chunked(core, query_xyz: Array):
         lambda o: o.reshape((n_chunks * _CHUNK,) + o.shape[2:])[:m], outs)
 
 
+def _demean(query_xyz: Array, ref_xyz: Array):
+    """Shift both clouds by the reference centroid (sentinel-aware).
+
+    Distances are translation-invariant; solving near the origin keeps the
+    f32 |q|^2 + |r|^2 - 2 q.r expansion exact at cm scale even on 100 m
+    maps (at map-frame magnitudes the cancellation costs ~mm-cm).
+    """
+    valid = jnp.abs(ref_xyz[:, 0]) < 1e7
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    c = jnp.sum(jnp.where(valid[:, None], ref_xyz, 0.0), axis=0) / nv
+    return query_xyz - c, ref_xyz - c
+
+
 @jax.jit
 def nn(query_xyz: Array, query_mask: Array, ref_xyz: Array, max_dist):
     """Exact nearest neighbor within max_dist.
 
     Returns (index int32[M] into ref, sq_dist f32[M], found bool[M]).
     """
-    r2 = jnp.sum(ref_xyz * ref_xyz, axis=-1)
+    query_c, ref_c = _demean(query_xyz, ref_xyz)
+    r2 = jnp.sum(ref_c * ref_c, axis=-1)
 
     def core(qc):
         d2 = (jnp.sum(qc * qc, axis=-1, keepdims=True) + r2[None, :]
-              - 2.0 * (qc @ ref_xyz.T))
+              - 2.0 * jnp.matmul(qc, ref_c.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         # argmin must be d2's ONLY consumer: with a single reduction XLA
         # fuses the (chunk x N) distance block into the matmul epilogue and
         # it never touches HBM.  A second consumer (min / take_along_axis)
@@ -62,11 +77,11 @@ def nn(query_xyz: Array, query_mask: Array, ref_xyz: Array, max_dist):
         # 50x slowdown.  The best distance is recomputed exactly from the
         # gathered match instead (one [chunk]-row gather, ~free).
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        diff = qc - ref_xyz[best]
+        diff = qc - ref_c[best]
         best_d2 = jnp.sum(diff * diff, axis=-1)
         return best, best_d2
 
-    idx, d2 = _chunked(core, query_xyz)
+    idx, d2 = _chunked(core, query_c)
     d2 = jnp.maximum(d2, 0.0)  # numerical floor (a-b)^2 >= 0
     found = jnp.logical_and(query_mask, d2 <= jnp.asarray(max_dist) ** 2)
     return idx, d2, found
@@ -78,15 +93,21 @@ def knn(query_xyz: Array, query_mask: Array, ref_xyz: Array, max_dist, k: int = 
 
     Returns (indices int32[M,k], sq_dists f32[M,k] ascending, ok bool[M,k]).
     """
-    r2 = jnp.sum(ref_xyz * ref_xyz, axis=-1)
+    query_c, ref_c = _demean(query_xyz, ref_xyz)
+    r2 = jnp.sum(ref_c * ref_c, axis=-1)
 
     def core(qc):
         d2 = (jnp.sum(qc * qc, axis=-1, keepdims=True) + r2[None, :]
-              - 2.0 * (qc @ ref_xyz.T))
+              - 2.0 * jnp.matmul(qc, ref_c.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         neg, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), -neg
+        # Exact distances from the gathered matches (the ranked d2 carries
+        # the expansion's rounding).
+        cand = ref_c[idx]  # [chunk, k, 3]
+        diff = qc[:, None, :] - cand
+        return idx.astype(jnp.int32), jnp.sum(diff * diff, axis=-1)
 
-    idx, d2 = _chunked(core, query_xyz)
+    idx, d2 = _chunked(core, query_c)
     d2 = jnp.maximum(d2, 0.0)
     ok = jnp.logical_and(query_mask[:, None], d2 <= jnp.asarray(max_dist) ** 2)
     return idx, d2, ok

@@ -247,14 +247,25 @@ def query_radius_count(grid: HashGrid, query_xyz: Array, query_mask: Array, radi
     return _chunked_over_rows(core, query_xyz, query_mask)
 
 
-def occupied_voxel_lookup(grid: HashGrid, query_xyz: Array, query_mask: Array) -> Array:
+def occupied_voxel_lookup(grid: HashGrid, query_xyz: Array, query_mask: Array,
+                          max_per_bucket: int = 16) -> Array:
     """True when the query point's own voxel contains any grid point.
 
     Fixed-shape analogue of VoxelMap::hasVoxelContainingPoint
     (reference Voxel.cpp / VoxelHashMap.hpp:104-159) — used for overlap
-    computation and space carving.  Exact up to hash collisions; collisions
-    can only produce false positives, which the callers tolerate (the
-    reference's overlap estimate is itself voxel-approximate).
+    computation and space carving.  Exact: bucket candidates are verified
+    by voxel key, so hash collisions never produce false positives (a
+    bucket holding > max_per_bucket colliding voxels could in principle
+    produce a false negative; with power-of-two tables sized ≥ the point
+    count that tail is negligible).
     """
-    b = hash_key(voxel_key(query_xyz, grid.cell), grid.table_size)
-    return jnp.logical_and(query_mask, grid.count[b] > 0)
+    qkey = voxel_key(query_xyz, grid.cell)
+    b = hash_key(qkey, grid.table_size)
+    offs = jnp.arange(max_per_bucket, dtype=jnp.int32)
+    slots = grid.start[b][:, None] + offs[None, :]
+    in_bucket = offs[None, :] < grid.count[b][:, None]
+    slots = jnp.clip(slots, 0, grid.points.shape[0] - 1)
+    ckey = voxel_key(grid.points[slots], grid.cell)
+    same_voxel = jnp.all(ckey == qkey[:, None, :], axis=-1)
+    hit = jnp.any(jnp.logical_and(in_bucket, same_voxel), axis=-1)
+    return jnp.logical_and(query_mask, hit)

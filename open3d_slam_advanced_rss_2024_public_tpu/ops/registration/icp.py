@@ -77,9 +77,16 @@ class ICPConfig:
     bound_max_rot: Optional[float] = None
     bound_max_trans: Optional[float] = None
     # Correspondence engine: "bruteforce" (MXU-tiled exact NN — ~500x faster
-    # on TPU for in-submap sizes, see ops/bruteforce.py) or "hashgrid"
-    # (voxel-hash probe — for maps too large to sweep densely).
+    # on TPU for in-submap sizes, see ops/bruteforce.py), "hashgrid"
+    # (voxel-hash probe — for maps too large to sweep densely), "pallas"
+    # (tile-skipping kernel), or "sharded" (each device searches its map
+    # shard, winners reduce over ``shard_axis`` with pmin/psum — run inside
+    # shard_map; see parallel/sharded_slam.py).
     matcher: str = "bruteforce"
+    # Mesh axis name for the "sharded" matcher (must match the enclosing
+    # shard_map axis).  Also switches the reference centroid to a psum
+    # reduction over the shards.
+    shard_axis: Optional[str] = None
 
 
 @jax.tree_util.register_dataclass
@@ -153,9 +160,10 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
     """Correspondence search honoring cfg.matcher and cfg.knn.
 
     Returns flattened per-correspondence arrays
-    (src[N*K,3], src_nrm[N*K,3], slot_mask[N*K], idx[N*K], d2[N*K],
-    found[N*K]) plus per_point_found[N] for overlap/fitness reporting.
-    For knn=1 the arrays pass through unflattened (K=1).
+    (src[N*K,3], src_nrm[N*K,3], slot_mask[N*K], ref_pts[N*K,3],
+    ref_nrm[N*K,3], d2[N*K], found[N*K]) plus per_point_found[N] for
+    overlap/fitness reporting.  For knn=1 the arrays pass through
+    unflattened (K=1).
     """
     if cfg.knn > 1:
         # knn matching runs on the MXU top-k path; hashgrid/pallas matchers
@@ -165,9 +173,33 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
                                      cfg.max_correspondence_dist, k=cfg.knn)
         per_point_found = jnp.any(ok, axis=-1)
         k = cfg.knn
+        flat_idx = idx.reshape(-1)
         return (jnp.repeat(src, k, axis=0), jnp.repeat(src_nrm, k, axis=0),
-                jnp.repeat(mask, k), idx.reshape(-1), d2.reshape(-1),
+                jnp.repeat(mask, k), ref_grid.points[flat_idx],
+                ref_grid.normals[flat_idx], d2.reshape(-1),
                 ok.reshape(-1), per_point_found)
+    if cfg.matcher == "sharded":
+        # Each device searches its own map shard; the global winner reduces
+        # over the mesh axis with one pmin + two psum rounds (the multi-chip
+        # replacement for the reference's single kd-tree,
+        # MatchersImpl.cpp:108-133 — SURVEY §2.6 halo-free variant: queries
+        # replicated, map partitioned).
+        assert cfg.shard_axis is not None, "sharded matcher needs shard_axis"
+        idx, d2, found = bruteforce.nn(src, mask, ref_grid.points,
+                                       cfg.max_correspondence_dist)
+        local_pts = ref_grid.points[idx]
+        local_nrm = ref_grid.normals[idx]
+        d2 = jnp.where(found, d2, jnp.inf)
+        best_d2 = jax.lax.pmin(d2, cfg.shard_axis)
+        dev = jax.lax.axis_index(cfg.shard_axis).astype(jnp.float32)
+        claim = jnp.where(d2 <= best_d2, dev, jnp.inf)
+        winner = jax.lax.pmin(claim, cfg.shard_axis)
+        is_winner = (claim == winner)[:, None]
+        ref_pts = jax.lax.psum(jnp.where(is_winner, local_pts, 0.0), cfg.shard_axis)
+        ref_nrm = jax.lax.psum(jnp.where(is_winner, local_nrm, 0.0), cfg.shard_axis)
+        found = jnp.logical_and(mask, jnp.isfinite(best_d2))
+        d2 = jnp.where(found, best_d2, jnp.inf)
+        return src, src_nrm, mask, ref_pts, ref_nrm, d2, found, found
     if cfg.matcher == "pallas":
         from .. import pallas_nn
 
@@ -181,15 +213,22 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
             ref_grid, src, mask, cfg.max_correspondence_dist,
             max_per_bucket=cfg.max_per_bucket,
         )
-    return src, src_nrm, mask, idx, d2, found, found
+    return (src, src_nrm, mask, ref_grid.points[idx], ref_grid.normals[idx],
+            d2, found, found)
 
 
-def reference_centroid(ref_grid: hashgrid.HashGrid) -> Array:
+def reference_centroid(ref_grid: hashgrid.HashGrid,
+                       shard_axis: Optional[str] = None) -> Array:
     """Centroid of the valid reference points (de-meaned solving frame,
-    ≙ ICP.cpp:293-326 centroid re-centering)."""
+    ≙ ICP.cpp:293-326 centroid re-centering).  With ``shard_axis`` the sums
+    reduce over the mesh so every shard solves in the same global frame."""
     ref_valid = (jnp.abs(ref_grid.points[:, 0]) < 1e7)
-    nref = jnp.maximum(jnp.sum(ref_valid.astype(jnp.float32)), 1.0)
-    return jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0) / nref
+    nref = jnp.sum(ref_valid.astype(jnp.float32))
+    total = jnp.sum(jnp.where(ref_valid[:, None], ref_grid.points, 0.0), axis=0)
+    if shard_axis is not None:
+        nref = jax.lax.psum(nref, shard_axis)
+        total = jax.lax.psum(total, shard_axis)
+    return total / jnp.maximum(nref, 1.0)
 
 
 def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGrid,
@@ -203,10 +242,8 @@ def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGr
     """
     src = se3.apply(T, source.xyz)
     src_nrm = se3.rotate(T, source.normals)
-    src, src_nrm, slot_mask, idx, d2, found, per_point_found = _match(
+    src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, per_point_found = _match(
         cfg, src, src_nrm, source.mask, ref_grid)
-    ref_pts = ref_grid.points[idx]
-    ref_nrm = ref_grid.normals[idx]
     # Squared point-to-plane residual, consumed by RobustOutlierFilter's
     # distanceType: point2plane (reference OutlierFiltersImpl.cpp:461-494).
     pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
@@ -280,7 +317,7 @@ def register(source: PointCloud, ref_grid: hashgrid.HashGrid, init_T: Array,
 
     init_T is the initial guess mapping source frame into reference frame.
     """
-    centroid = reference_centroid(ref_grid)
+    centroid = reference_centroid(ref_grid, cfg.shard_axis)
     smooth = max(cfg.smooth_length, 1)
 
     def body(carry):
@@ -380,14 +417,12 @@ def register_with_covariance(source: PointCloud, ref_grid: hashgrid.HashGrid,
     # Same matcher selection as the solve loop (cfg.matcher / cfg.knn), so
     # the covariance is evaluated over the correspondence set the solution
     # actually used.
-    src, src_nrm, slot_mask, idx, d2, found, _ = _match(
+    src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, _ = _match(
         cfg, src, src_nrm, source.mask, ref_grid)
-    ref_pts = ref_grid.points[idx]
-    ref_nrm = ref_grid.normals[idx]
     pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
     w = _weights(cfg, d2, found, src_nrm, ref_nrm,
                  slot_mask=slot_mask, p2plane_sq=pp * pp)
-    centroid = reference_centroid(ref_grid)
+    centroid = reference_centroid(ref_grid, cfg.shard_axis)
     src_c = jnp.where(found[:, None], src - centroid, 0.0)
     if cfg.minimizer == "point_to_plane":
         cov = minimizers.point_to_plane_covariance(src_c, ref_nrm, w, sensor_std)

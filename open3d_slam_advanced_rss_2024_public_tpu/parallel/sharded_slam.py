@@ -1,0 +1,170 @@
+"""End-to-end sharded SLAM step: the fused pipeline over a device mesh.
+
+The single-chip production path (models/pipeline.mapper_step) fuses
+preprocess -> map-patch crop -> while-loop ICP -> fitness gate -> voxel
+fusion into one program.  This module runs the SAME step with the map
+partitioned across a mesh:
+
+  - map storage: spatial blocks owned by devices (block hash mod D,
+    see sharded_map.block_owner) — total capacity scales linearly with
+    the mesh (SURVEY §2.6 "map blocks + keyframes partitioned").
+  - correspondence search: every device searches its own shard inside the
+    ICP while-loop; winners reduce with one pmin + two psum rounds per
+    iteration (icp.ICPConfig(matcher="sharded") — the multi-chip
+    replacement of the reference's kd-tree, MatchersImpl.cpp:108-133).
+  - GN solve: after the winner reduction every device holds the full
+    correspondence set, so the 6x6 normal-equation solve is replicated —
+    redundant FLOPs that cost nothing next to the gather and save a
+    collective round.
+  - insertion: the registered scan is owner-partitioned and fused
+    shard-locally (no communication).
+
+Queries ride ICI once per ICP iteration; everything else is shard-local.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import scan_processing
+from ..models.pipeline import PipelineConfig
+from ..ops import hashgrid, voxel_map
+from ..ops.registration import icp as icp_mod
+from ..utils.pointcloud import PointCloud, SENTINEL
+from .mesh import DATA_AXIS
+from .sharded_map import block_owner
+
+Array = jax.Array
+
+
+def make_sharded_mapper(mesh: Mesh, cfg: PipelineConfig,
+                        capacity_per_device: int, block_size: float = 8.0):
+    """Build (empty_state_fn, step_fn) for the sharded fused mapper.
+
+    step_fn(maps, last_insertion_pose, raw_scan, estimate_T)
+        -> (maps', pose, match_ratio, last_insertion_pose')
+
+    ``maps`` is a VoxelMap pytree with leading device axis [D, C, ...]
+    sharded over the mesh; scan/estimate are replicated.
+    """
+    D = mesh.shape[DATA_AXIS]
+    icp_cfg = dataclasses.replace(cfg.icp, matcher="sharded",
+                                  shard_axis=DATA_AXIS)
+
+    def _step(map_xyz, map_nrm, map_mask, map_w, scan_xyz, scan_nrm,
+              scan_mask, est_T, last_ins_T):
+        # Local shard views (leading axis 1 on sharded operands).
+        dev = jax.lax.axis_index(DATA_AXIS)
+        est = est_T  # replicated
+        raw = PointCloud(xyz=scan_xyz, normals=scan_nrm, mask=scan_mask)
+
+        # Replicated preprocessing (identical on every device; cheap next
+        # to the sharded search, avoids a broadcast round).
+        wide = scan_processing.preprocess_scan(
+            raw,
+            wide_min_radius=cfg.crop_min_radius,
+            wide_max_radius=cfg.crop_max_radius,
+            voxel_size=cfg.scan_voxel_size,
+            downsampling_ratio=1.0,
+            capacity=cfg.scan_capacity,
+            estimate_scan_normals=True,
+            normal_knn=cfg.normal_knn,
+        )
+        match = scan_processing.narrow_crop(wide, cfg.crop_min_radius,
+                                            cfg.crop_max_radius)
+
+        # Local map patch around the pose estimate (shard-local crop).
+        local_cloud = PointCloud(xyz=map_xyz[0], normals=map_nrm[0],
+                                 mask=map_mask[0])
+        _, grid = scan_processing.crop_submap_and_index(
+            local_cloud, est[:3, 3],
+            min_radius=0.0, max_radius=cfg.crop_max_radius,
+            match_dist=icp_cfg.max_correspondence_dist,
+            capacity=cfg.map_patch_capacity,
+            build_hash=False,
+        )
+        res = icp_mod.register(match, grid, est, icp_cfg)
+
+        total = jax.lax.psum(jnp.sum(map_mask[0].astype(jnp.int32)), DATA_AXIS)
+        ok = res.match_ratio >= cfg.min_refinement_fitness
+        empty_map = total == 0
+        use_icp = jnp.logical_and(ok, jnp.logical_not(empty_map))
+        T = jnp.where(use_icp, res.transform, est)
+
+        motion = jnp.linalg.norm(T[:3, 3] - last_ins_T[:3, 3])
+        insert_ok = jnp.logical_or(motion >= cfg.min_movement_between_steps,
+                                   empty_map)
+        merged = wide.transform(T)
+        owner = block_owner(merged.xyz, block_size, D)
+        mine = jnp.logical_and(merged.mask,
+                               jnp.logical_and(owner == dev, insert_ok))
+        local_scan = merged.with_mask(mine)
+        vm = voxel_map.VoxelMap(cloud=local_cloud, weight=map_w[0])
+        vm = voxel_map.insert(vm, local_scan, cfg.map_voxel_size)
+        new_ins = jnp.where(insert_ok, T, last_ins_T)
+        return (vm.cloud.xyz[None], vm.cloud.normals[None],
+                vm.cloud.mask[None], vm.weight[None], T, res.match_ratio,
+                new_ins)
+
+    step_sharded = shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                   P(), P(), P()),
+    )
+
+    @jax.jit
+    def step_fn(maps: voxel_map.VoxelMap, last_insertion_pose: Array,
+                raw_scan: PointCloud, estimate_T: Array):
+        xyz, nrm, mask, w, T, mr, new_ins = step_sharded(
+            maps.cloud.xyz, maps.cloud.normals, maps.cloud.mask, maps.weight,
+            raw_scan.xyz, raw_scan.normals, raw_scan.mask,
+            jnp.asarray(estimate_T, jnp.float32),
+            jnp.asarray(last_insertion_pose, jnp.float32))
+        new_maps = voxel_map.VoxelMap(
+            cloud=PointCloud(xyz=xyz, normals=nrm, mask=mask), weight=w)
+        return new_maps, T, mr, new_ins
+
+    def empty_state() -> voxel_map.VoxelMap:
+        C = capacity_per_device
+        cloud = PointCloud(
+            xyz=jnp.full((D, C, 3), SENTINEL, jnp.float32),
+            normals=jnp.zeros((D, C, 3), jnp.float32),
+            mask=jnp.zeros((D, C), bool),
+        )
+        return voxel_map.VoxelMap(cloud=cloud,
+                                  weight=jnp.zeros((D, C), jnp.float32))
+
+    return empty_state, step_fn
+
+
+def init_distributed(coordinator_address: str = None, num_processes: int = None,
+                     process_id: int = None) -> None:
+    """Multi-host entry: initialize jax.distributed so the mesh spans hosts
+    (DCN between hosts, ICI within) — SURVEY §2.6's distributed backend.
+
+    On single-host (or when already initialized) this is a no-op, so the
+    same driver script runs 1-host and N-host unchanged:
+
+        init_distributed()                      # env-configured (TPU pods)
+        init_distributed("10.0.0.1:1234", 4, i) # explicit DCN coordinator
+    """
+    import jax as _jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            _jax.distributed.initialize()  # env/TPU-metadata autodetect
+        else:
+            _jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError) as e:  # already initialized / 1-host
+        import sys
+        print(f"[sharded_slam] jax.distributed not started: {e}", file=sys.stderr)

@@ -262,6 +262,9 @@ class PlaceRecognitionParameters:
     # TPU extension: batched-hypothesis RANSAC rounds (fixed shape).
     ransac_batch_size: int = 4096
     feature_point_capacity: int = 8192
+    # Fixed capacity of the overlap-restricted full-res clouds used for ICP
+    # refinement + information matrices (XLA static shapes).
+    overlap_point_capacity: int = 16384
 
 
 @dataclass(frozen=True)
