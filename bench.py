@@ -26,11 +26,33 @@ duplicate):
    the full 15-iteration budget (min_diff thresholds zeroed) — the
    worst-case latency bound (icp.yaml CounterTransformationChecker:15).
 """
+import datetime
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _provenance():
+    """Git commit + timestamp + device string (ADVICE r2: make benchmark
+    artifacts auditable round-over-round)."""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    import jax
+
+    return {
+        "commit": commit,
+        "date": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+    }
 
 
 def main():
@@ -163,6 +185,7 @@ def main():
             "scan2map_icp_fixed15_frames_per_s": round(fps_fixed, 2),
             "icp_trans_err_cm": round(err_conv * 100, 2),
             "e2e_final_pose_err_cm": round(final_err * 100, 2),
+            "provenance": _provenance(),
         },
     }))
 

@@ -4,18 +4,22 @@ TPU-native equivalent of the reference Mapper
 (reference: open3d_slam_rsl/.../src/Mapper.cpp:33-553):
   - initial guess = previous refined pose x odometry motion delta
     (Mapper.cpp:265-300),
-  - periodic ICP reference re-initialization every
-    reference_cloud_setting_period seconds (Mapper.cpp:349-380) — here a
-    voxel-hash grid rebuild over the cropped map patch,
-  - scan-to-map ICP (Mapper.cpp:387-394 icp_.compute) — here the jitted
-    while-loop ICP program,
+  - scan-to-map ICP (Mapper.cpp:387-394 icp_.compute),
   - out-of-order fallback via odometry propagation (Mapper.cpp:196-235),
   - min-motion gating before insertion (Mapper.cpp:483-489),
   - map-merge suppression in localization mode (Mapper.cpp:466-479).
 
-Host/device split: time bookkeeping, buffers, and re-init scheduling stay
-in Python; each scan triggers exactly three fused device programs
-(preprocess, register, insert) with no other host-device chatter.
+Host/device split (round 3 — one hot path): all device work for a scan is
+the single fused program ``pipeline.mapper_step`` (preprocess -> map-patch
+crop + matcher index -> while-loop ICP -> fitness gate -> voxel fusion into
+the ACTIVE submap's table), exactly the program bench.py measures.  The
+host keeps time bookkeeping, buffers, the merge-suppression flag (fed to
+the device as a traced scalar), and the submap lifecycle
+(SubmapCollection.post_insert_update).  The reference's periodic
+reference-cloud re-init (Mapper.cpp:349-380) is subsumed: the fused step
+re-crops the map patch around the pose estimate every scan — strictly
+fresher than the reference's up-to-period-stale kd-tree, at ~1.7 ms on
+chip (PROFILE.md).
 """
 from __future__ import annotations
 
@@ -25,14 +29,11 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import hashgrid
-from ..ops.registration import ICPConfig, ICPResult, register
-from ..utils import se3
+from ..ops.registration import ICPConfig
 from ..utils.config import SlamParameters
 from ..utils.pointcloud import PointCloud
 from ..utils.timebuf import TransformInterpolationBuffer
-from . import scan_processing
-from .submap_collection import SubmapCollection
+from . import pipeline
 
 
 def resolve_matcher(name: str) -> str:
@@ -65,19 +66,42 @@ def icp_config_from_params(params: SlamParameters) -> ICPConfig:
     )
 
 
+def pipeline_config_from_params(params: SlamParameters) -> pipeline.PipelineConfig:
+    """SlamParameters -> the fused step's static config (the one hot path)."""
+    ml = params.mapper.mapper_localizer
+    reg = ml.scan_to_map_registration
+    sp = reg.scan_processing
+    crop = sp.scan_cropping
+    return pipeline.PipelineConfig(
+        icp=icp_config_from_params(params),
+        scan_voxel_size=sp.voxel_size,
+        scan_capacity=sp.point_capacity,
+        crop_min_radius=crop.cropping_radius_min,
+        crop_max_radius=crop.cropping_radius_max,
+        map_patch_capacity=reg.map_patch_capacity,
+        map_voxel_size=params.mapper.map_builder.map_voxel_size,
+        min_refinement_fitness=(0.0 if ml.ignore_minimum_refinement_fitness
+                                else reg.min_refinement_fitness),
+        min_movement_between_steps=ml.min_movement_between_mapping_steps,
+    )
+
+
 @dataclasses.dataclass
 class MapperStats:
     scans_processed: int = 0
     scans_rejected_low_fitness: int = 0
     out_of_order: int = 0
-    reference_reinits: int = 0
+    insertions: int = 0
 
 
 class Mapper:
     def __init__(self, params: SlamParameters,
                  odom_buffer: Optional[TransformInterpolationBuffer] = None):
+        from .submap_collection import SubmapCollection
+
         self.params = params
         self.icp_cfg = icp_config_from_params(params)
+        self.pipe_cfg = pipeline_config_from_params(params)
         self.submaps = SubmapCollection(params.mapper)
         self.odom_buffer = odom_buffer if odom_buffer is not None else TransformInterpolationBuffer()
         self.map_to_range_sensor = np.eye(4, dtype=np.float32)
@@ -87,8 +111,6 @@ class Mapper:
         self.calibration = np.eye(4, dtype=np.float32)
         self.last_measurement_time: Optional[float] = None
         self.last_insertion_pose = np.eye(4, dtype=np.float32)
-        self.last_reference_init_time: Optional[float] = None
-        self.ref_grid: Optional[hashgrid.HashGrid] = None
         self.stats = MapperStats()
         self.is_new_value_set = False  # external pose override pending
         self.is_use_initial_map = params.mapper.mapper_localizer.is_use_map_initialization
@@ -108,69 +130,44 @@ class Mapper:
         self.map_to_range_sensor = c @ self.map_to_range_sensor
         self.map_to_range_sensor_prev = c @ self.map_to_range_sensor_prev
         self.last_insertion_pose = c @ self.last_insertion_pose
-        self.ref_grid = None  # grid is stale after the map moved
-        self.last_reference_init_time = None
-
-    # -- preprocessing -------------------------------------------------------
-
-    def _preprocess(self, raw_scan: PointCloud) -> scan_processing.ProcessedScans:
-        ml = self.params.mapper.mapper_localizer.scan_to_map_registration
-        sp = ml.scan_processing
-        crop = sp.scan_cropping
-        wide = scan_processing.preprocess_scan(
-            raw_scan,
-            wide_min_radius=crop.cropping_radius_min,
-            wide_max_radius=crop.cropping_radius_max,
-            voxel_size=sp.voxel_size,
-            downsampling_ratio=1.0,  # deterministic (reference disables it too)
-            capacity=sp.point_capacity,
-            estimate_scan_normals=True,
-        )
-        match = scan_processing.narrow_crop(wide, crop.cropping_radius_min,
-                                            crop.cropping_radius_max)
-        return scan_processing.ProcessedScans(match=match, merge=wide)
-
-    def _maybe_reinit_reference(self, time: float) -> None:
-        ml = self.params.mapper.mapper_localizer.scan_to_map_registration
-        period = ml.reference_cloud_setting_period
-        due = (
-            self.ref_grid is None
-            or self.last_reference_init_time is None
-            or (time - self.last_reference_init_time) >= period
-        )
-        if not due:
-            return
-        crop = ml.scan_processing.scan_cropping
-        robot_pos = jnp.asarray(self.map_to_range_sensor[:3, 3])
-        _, grid = scan_processing.crop_submap_and_index(
-            self.submaps.active_submap.map.cloud, robot_pos,
-            min_radius=0.0, max_radius=crop.cropping_radius_max,
-            match_dist=self.icp_cfg.max_correspondence_dist,
-            capacity=ml.map_patch_capacity,
-            build_hash=(self.icp_cfg.matcher == "hashgrid"),
-        )
-        self.ref_grid = grid
-        self.last_reference_init_time = time
-        self.stats.reference_reinits += 1
 
     # -- the hot path --------------------------------------------------------
+
+    def _fused_step(self, raw_scan: PointCloud, estimate: np.ndarray,
+                    insert_enable: bool):
+        """Run the single fused device program against the active submap."""
+        sm = self.submaps.active_submap
+        state = pipeline.MapState(
+            map=sm.map,
+            pose=jnp.asarray(self.map_to_range_sensor),
+            last_insertion_pose=jnp.asarray(self.last_insertion_pose),
+        )
+        new_state, out = pipeline.mapper_step(
+            state, raw_scan, jnp.asarray(estimate, jnp.float32), self.pipe_cfg,
+            insert_enable)
+        sm.map = new_state.map
+        return new_state, out
 
     def add_range_measurement(self, raw_scan: PointCloud, time: float) -> bool:
         """≙ Mapper::addRangeMeasurement (Mapper.cpp:168-505)."""
         ml = self.params.mapper.mapper_localizer
 
-        # First scan: insert directly at the current pose.
+        # First scan: insert directly at the current pose (the fused step's
+        # empty-map branch trusts the estimate).
         if self.submaps.empty() or self.submaps.active_submap.is_empty():
-            processed = self._preprocess(raw_scan)
-            merge_map_frame = processed.merge.transform(jnp.asarray(self.map_to_range_sensor))
-            self.submaps.insert_scan(merge_map_frame, self.map_to_range_sensor, time)
+            self.submaps.ensure_active(self.map_to_range_sensor, time)
+            self._fused_step(raw_scan, self.map_to_range_sensor,
+                             insert_enable=True)
+            self.submaps.note_fused_insert()
             self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
             self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
             self.best_guess_buffer.push(time, self.map_to_range_sensor)
+            self.last_insertion_pose = self.map_to_range_sensor.copy()
             self.last_measurement_time = time
             self.init_time = time
             self.is_new_value_set = False
             self.stats.scans_processed += 1
+            self.stats.insertions += 1
             return True
 
         # Out-of-order: propagate by last odometry motion (Mapper.cpp:196-235).
@@ -197,16 +194,8 @@ class Mapper:
             motion = np.linalg.inv(odom_prev) @ odom_now
             estimate = (self.map_to_range_sensor_prev @ motion).astype(np.float32)
 
-        processed = self._preprocess(raw_scan)
-        self._maybe_reinit_reference(time)
-
-        res: ICPResult = register(processed.match, self.ref_grid,
-                                  jnp.asarray(estimate), self.icp_cfg)
-        corrected = np.asarray(res.transform)
-        fitness = float(res.match_ratio)
-
         if self.is_new_value_set:
-            # External pose was just set; trust it, skip refinement bookkeeping.
+            # External pose was just set; trust it, skip refinement.
             self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
             self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
             self.best_guess_buffer.push(time, estimate)
@@ -215,32 +204,38 @@ class Mapper:
             self.last_measurement_time = time
             return True
 
-        if (not ml.ignore_minimum_refinement_fitness
-                and fitness < ml.scan_to_map_registration.min_refinement_fitness):
-            # Refinement unreliable (Mapper gate, Parameters min_refinement_
-            # fitness): fall back to the odometry-propagated estimate.
-            self.stats.scans_rejected_low_fitness += 1
-            corrected = estimate
-
-        self.map_to_range_sensor = corrected.astype(np.float32)
-        self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
-        self.best_guess_buffer.push(time, estimate)
-
-        # Localization mode: suppress merging (Mapper.cpp:466-479).
+        # Localization mode: suppress merging (Mapper.cpp:466-479).  Host
+        # flag, traced scalar on-device (no recompile on flips).
         merge_suppressed = (
             (self.is_use_initial_map and not self.is_merge_scans_into_map)
             or (self.is_use_initial_map and self.is_merge_scans_into_map
                 and self.init_time is not None
                 and (time - self.init_time) < ml.map_merge_delay_in_seconds)
         )
-        if not merge_suppressed:
-            motion = np.linalg.inv(self.last_insertion_pose) @ self.map_to_range_sensor
-            moved_enough = (np.linalg.norm(motion[:3, 3])
-                            >= ml.min_movement_between_mapping_steps)
-            if moved_enough:
-                merge_map_frame = processed.merge.transform(jnp.asarray(self.map_to_range_sensor))
-                self.submaps.insert_scan(merge_map_frame, self.map_to_range_sensor, time)
-                self.last_insertion_pose = self.map_to_range_sensor.copy()
+
+        new_state, out = self._fused_step(raw_scan, estimate,
+                                          insert_enable=not merge_suppressed)
+        # One host sync per scan (inherent: scan t+1's guess composes on
+        # scan t's refined pose — SURVEY §7 hard parts).
+        corrected = np.asarray(new_state.pose)
+        fitness = float(out.res.match_ratio)
+        inserted = bool(out.inserted)
+
+        if (not ml.ignore_minimum_refinement_fitness
+                and fitness < ml.scan_to_map_registration.min_refinement_fitness):
+            # The device program already fell back to the odometry estimate
+            # (fitness gate inside mapper_step); count it here.
+            self.stats.scans_rejected_low_fitness += 1
+
+        self.map_to_range_sensor = corrected.astype(np.float32)
+        self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
+        self.best_guess_buffer.push(time, estimate)
+
+        if inserted:
+            self.submaps.post_insert_update(out.merged, self.map_to_range_sensor,
+                                            time)
+            self.last_insertion_pose = self.map_to_range_sensor.copy()
+            self.stats.insertions += 1
 
         self.last_measurement_time = time
         self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()

@@ -58,6 +58,8 @@ class PipelineConfig:
     map_patch_capacity: int = 32768
     map_voxel_size: float = 0.1
     min_refinement_fitness: float = 0.3
+    # "auto" -> MXU radius-moments normals on TPU, kNN elsewhere.
+    normal_engine: str = "auto"
     # Insertion gate: minimum motion since last insertion (reference
     # min_movement_between_mapping_steps, Mapper.cpp:483-489).
     min_movement_between_steps: float = 0.0
@@ -73,6 +75,19 @@ class MapState:
     last_insertion_pose: Array  # f32[4,4]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepOutput:
+    """Device-side extras of one fused step, consumed by the host Mapper:
+    the ICP result, the preprocessed merge cloud in map frame (overlap
+    buffer / dense map / carving inputs), and whether the min-motion gate
+    admitted the insertion."""
+
+    res: ICPResult
+    merged: PointCloud
+    inserted: Array  # bool scalar
+
+
 def init_state(map_capacity: int, init_pose: Optional[Array] = None) -> MapState:
     T = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.asarray(
         init_pose, jnp.float32)
@@ -82,8 +97,14 @@ def init_state(map_capacity: int, init_pose: Optional[Array] = None) -> MapState
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
-                cfg: PipelineConfig) -> Tuple[MapState, ICPResult]:
-    """One scan through the full pipeline as a single fused program."""
+                cfg: PipelineConfig,
+                insert_enable: Array = True) -> Tuple[MapState, StepOutput]:
+    """One scan through the full pipeline as a single fused program.
+
+    ``insert_enable`` is the host's merge-suppression gate (localization
+    mode / map-merge delay, ≙ Mapper.cpp:466-479) — a traced scalar, so
+    flipping it never recompiles.
+    """
     wide = scan_processing.preprocess_scan(
         raw_scan,
         wide_min_radius=cfg.crop_min_radius,
@@ -93,6 +114,7 @@ def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
         capacity=cfg.scan_capacity,
         estimate_scan_normals=True,
         normal_knn=cfg.normal_knn,
+        normal_engine=scan_processing.resolve_normal_engine(cfg.normal_engine),
     )
     match = scan_processing.narrow_crop(wide, cfg.crop_min_radius,
                                         cfg.crop_max_radius)
@@ -112,10 +134,11 @@ def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
     use_icp = jnp.logical_and(ok, jnp.logical_not(empty_map))
     T = jnp.where(use_icp, res.transform, estimate_T)
 
-    # Min-motion insertion gate.
+    # Min-motion insertion gate x host merge-suppression gate.
     motion = jnp.linalg.norm(T[:3, 3] - state.last_insertion_pose[:3, 3])
-    insert_ok = jnp.logical_or(motion >= cfg.min_movement_between_steps,
-                               empty_map)
+    insert_ok = jnp.logical_and(
+        jnp.asarray(insert_enable, bool),
+        jnp.logical_or(motion >= cfg.min_movement_between_steps, empty_map))
     merged = wide.transform(T)
     gated = merged.with_mask(jnp.logical_and(merged.mask, insert_ok))
     new_map = voxel_map.insert(state.map, gated, cfg.map_voxel_size)
@@ -124,7 +147,7 @@ def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
         pose=T,
         last_insertion_pose=jnp.where(insert_ok, T, state.last_insertion_pose),
     )
-    return new_state, res
+    return new_state, StepOutput(res=res, merged=merged, inserted=insert_ok)
 
 
 def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,
@@ -142,7 +165,7 @@ def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,
     def body(st, inp):
         scan_i, delta_i = inp
         estimate = st.pose @ delta_i
-        st2, res = mapper_step(st, scan_i, estimate, cfg)
+        st2, _ = mapper_step(st, scan_i, estimate, cfg)
         return st2, st2.pose
 
     return jax.lax.scan(body, state, (scans, odom_deltas))

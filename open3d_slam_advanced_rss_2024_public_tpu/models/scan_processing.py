@@ -38,8 +38,18 @@ class ProcessedScans:
     merge: PointCloud
 
 
+def resolve_normal_engine(name: str) -> str:
+    """"auto" -> MXU moments kernel on TPU, kNN elsewhere."""
+    if name != "auto":
+        return name
+    import jax as _jax
+
+    return "moments" if _jax.default_backend() not in ("cpu", "gpu") else "knn"
+
+
 @partial(jax.jit, static_argnames=("voxel_size", "downsampling_ratio", "capacity",
-                                  "estimate_scan_normals", "normal_knn", "seed"))
+                                  "estimate_scan_normals", "normal_knn", "seed",
+                                  "normal_engine"))
 def preprocess_scan(scan: PointCloud,
                     wide_min_radius: float, wide_max_radius: float,
                     voxel_size: float, downsampling_ratio: float,
@@ -47,7 +57,8 @@ def preprocess_scan(scan: PointCloud,
                     estimate_scan_normals: bool = True,
                     normal_radius: float = 0.5,
                     normal_knn: int = 10,
-                    seed: int = 0) -> PointCloud:
+                    seed: int = 0,
+                    normal_engine: str = "knn") -> PointCloud:
     """Wide crop -> voxel downsample -> normals -> random downsample.
 
     ≙ ScanToMapIcp::preprocess (ScanToMapRegistration.cpp:36-45).  The
@@ -58,8 +69,17 @@ def preprocess_scan(scan: PointCloud,
     wide = croppers.min_max_radius_cropper(wide_min_radius, wide_max_radius)
     scan = scan.with_mask(wide.contains(scan.xyz))
     out = filters.voxel_downsample(scan, voxel_size, capacity)
+    # Morton (Z-order) layout: keeps NN query tiles spatially tight for the
+    # tile-sparse Pallas matcher (ops/pallas_nn.py).  Order is irrelevant
+    # to every downstream reduction.
+    out = hashgrid.morton_sort(out, 0.5)
     if estimate_scan_normals:
-        out = normals.estimate_normals(out, radius=normal_radius, k=normal_knn)
+        if normal_engine in ("moments", "moments_interpret"):
+            out = normals.estimate_normals_radius(
+                out, radius=normal_radius,
+                interpret=(normal_engine == "moments_interpret"))
+        else:
+            out = normals.estimate_normals(out, radius=normal_radius, k=normal_knn)
     if downsampling_ratio < 1.0:
         out = filters.random_sampling(out, jax.random.PRNGKey(seed), downsampling_ratio)
     return out
@@ -96,7 +116,11 @@ def crop_submap_and_index(map_cloud: PointCloud, robot_position: Array,
     if build_hash:
         grid = hashgrid.build(patch, cell_size=match_dist, table_size=table_size)
     else:
-        # Brute-force/Pallas matchers: keep the patch's voxel-lex order (the
-        # tile-skipping kernel exploits the spatial coherence).
-        grid = hashgrid.passthrough(patch, match_dist)
+        # Brute-force/Pallas matchers: Morton-sort the patch so the
+        # tile-sparse NN kernel sees spatially compact ref tiles (the
+        # persistent voxel table stores slots in hash order, which is
+        # spatially random).  Amortized: the grid persists until the next
+        # reference re-init (≙ Mapper.cpp:349-380).
+        grid = hashgrid.passthrough(hashgrid.morton_sort(patch, match_dist),
+                                    match_dist)
     return patch, grid

@@ -117,6 +117,59 @@ class SubmapCollection:
             truncation_distance=mb.space_carving.truncation_distance,
             max_ray_length=mb.space_carving.max_raytracing_length)
 
+    def ensure_active(self, map_to_range_sensor: np.ndarray, time: float) -> None:
+        """Create the first submap if none exists (fused-path bootstrap)."""
+        if not self.submaps:
+            self._create_new_submap(map_to_range_sensor, time)
+
+    def note_fused_insert(self) -> None:
+        """Bookkeeping for an insertion performed ON-DEVICE by the fused
+        pipeline step (first-scan path): count the scan without touching
+        the map (pipeline.mapper_step already fused it)."""
+        sm = self.submaps[self.active_idx]
+        sm.n_scans += 1
+        self.num_scans_merged_in_active += 1
+
+    def post_insert_update(self, merge_cloud_map_frame: PointCloud,
+                           map_to_range_sensor: np.ndarray, time: float) -> bool:
+        """Submap lifecycle after a fused-step insertion (round-3 one-hot-
+        path design): ``pipeline.mapper_step`` already fused the scan into
+        the ACTIVE submap's voxel table on-device; this host call handles
+        everything around it — overlap buffer, rollover decision, adjacency,
+        overlap replay into a fresh submap, and periodic carving.
+
+        Semantics match ``insert_scan`` (≙ insertScan, SubmapCollection.cpp:
+        189-246): on a rollover the closing submap keeps this scan (the
+        fused step put it there — the reference's "final insertion"), and
+        the overlap buffer (incl. this scan) replays into the new active
+        submap.  Carving runs after the insert instead of before; it only
+        clears free-space voxels strictly short of the truncation boundary,
+        so the just-inserted surface points are unaffected.
+
+        Returns True if the active submap changed.
+        """
+        voxel = self.params.map_builder.map_voxel_size
+        self.overlap_buffer.append(
+            (merge_cloud_map_frame, np.asarray(map_to_range_sensor), time))
+        prev_active = self.active_idx
+        self.submaps[prev_active].n_scans += 1
+        self._update_active_submap(map_to_range_sensor, time)
+        changed = prev_active != self.active_idx
+        if changed:
+            self.finished_queue.append((prev_active, time))
+            self.num_scans_merged_in_active = 0
+            self.adjacency.add_edge(self.submaps[prev_active].submap_id,
+                                    self.active_submap.submap_id)
+            new = self.submaps[self.active_idx]
+            for cloud, pose, t in list(self.overlap_buffer):
+                new.map = voxel_map.insert(new.map, cloud, voxel)
+                new.n_scans += 1
+            self.overlap_buffer.clear()
+        else:
+            self._maybe_carve(merge_cloud_map_frame, map_to_range_sensor)
+        self.num_scans_merged_in_active += 1
+        return changed
+
     def insert_scan(self, merge_cloud_map_frame: PointCloud,
                     map_to_range_sensor: np.ndarray, time: float) -> bool:
         """Insert a preprocessed scan already transformed into the map frame.

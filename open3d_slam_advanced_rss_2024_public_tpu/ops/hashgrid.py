@@ -55,6 +55,45 @@ def hash_key(key: Array, table_size: int) -> Array:
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
+def _part1by2(x: Array) -> Array:
+    """Spread the low 10 bits of x to every 3rd bit (Morton interleave —
+    the standard public bit-dilation constants)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_code(xyz: Array, mask: Array, cell) -> Array:
+    """30-bit Morton (Z-order) code of each point's ``cell``-sized voxel,
+    relative to the cloud's valid minimum corner.
+
+    Spatial sort key for the tile-sparse NN kernel (ops/pallas_nn.py):
+    consecutive points in Morton order are spatially compact, so per-tile
+    AABBs stay tight and most (query-tile, ref-tile) pairs are farther
+    apart than the correspondence radius.  Valid range: 1024 cells per
+    axis (coords clamp beyond — callers crop first, e.g. 0.5 m cells cover
+    512 m).  Invalid lanes sort last (code 2^30).
+    """
+    key = voxel_key(xyz, jnp.asarray(cell, jnp.float32))
+    lo = jnp.min(jnp.where(mask[..., None], key, jnp.int32(2**30)), axis=-2,
+                 keepdims=True)
+    k = jnp.clip(key - lo, 0, 1023)
+    code = ((_part1by2(k[..., 0]) << 2) | (_part1by2(k[..., 1]) << 1)
+            | _part1by2(k[..., 2]))
+    return jnp.where(mask, code, jnp.int32(1 << 30))
+
+
+def morton_sort(cloud: PointCloud, cell) -> PointCloud:
+    """Reorder a cloud by Morton code (valid points first, spatially
+    coherent).  Order is irrelevant to downstream reductions; it only
+    improves NN-kernel tile sparsity."""
+    code = morton_code(cloud.xyz, cloud.mask, cell)
+    return cloud.take(jnp.argsort(code))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HashGrid:
@@ -73,6 +112,11 @@ class HashGrid:
     start: Array
     count: Array
     cell: Array
+    # Optional 1-D descriptor channel per point (same order as ``points``),
+    # consumed by GenericDescriptorOutlierFilter (reference
+    # OutlierFiltersImpl.h:196-221 — weights from the MATCHED reference
+    # point's descriptor).
+    desc: "Array | None" = None
 
     @property
     def capacity(self) -> int:
@@ -83,7 +127,7 @@ class HashGrid:
         return self.start.shape[0]
 
 
-def passthrough(cloud: PointCloud, cell_size) -> HashGrid:
+def passthrough(cloud: PointCloud, cell_size, desc_channel: str = None) -> HashGrid:
     """A HashGrid carrying the cloud in its ORIGINAL order with no CSR index.
 
     For the brute-force / Pallas matchers, which only read points/normals
@@ -98,10 +142,12 @@ def passthrough(cloud: PointCloud, cell_size) -> HashGrid:
         start=jnp.zeros((1,), jnp.int32),
         count=jnp.zeros((1,), jnp.int32),
         cell=jnp.asarray(cell_size, jnp.float32),
+        desc=None if desc_channel is None else cloud.attr(desc_channel),
     )
 
 
-def build(cloud: PointCloud, cell_size, table_size: int = 1 << 14) -> HashGrid:
+def build(cloud: PointCloud, cell_size, table_size: int = 1 << 14,
+          desc_channel: str = None) -> HashGrid:
     """Build the index. table_size must be a power of two."""
     assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
     cell = jnp.asarray(cell_size, dtype=jnp.float32)
@@ -121,6 +167,7 @@ def build(cloud: PointCloud, cell_size, table_size: int = 1 << 14) -> HashGrid:
         start=start,
         count=counts.astype(jnp.int32),
         cell=cell,
+        desc=None if desc_channel is None else cloud.attr(desc_channel)[order],
     )
 
 

@@ -1,21 +1,42 @@
-"""Persistent voxelized point map with exact running-average fusion.
+"""Persistent voxelized point map: an open-addressed voxel hash table.
 
 TPU-native equivalent of the reference's map containers:
   - ``VoxelizedPointCloud`` / ``AggregatedVoxel`` — running mean of
-    position/normal per voxel (reference: include/open3d_slam/Voxel.hpp:19-80,
-    src/Voxel.cpp),
-  - the Submap's sparse ``mapCloud_`` maintained by re-voxelization around
-    the robot on every insertion (reference Submap.cpp:82-96, where the
-    full-map re-voxelize is flagged as suboptimal in its own comment).
+    position/normal/color per voxel (reference: include/open3d_slam/
+    Voxel.hpp:19-80, src/Voxel.cpp),
+  - ``VoxelHashMap`` — ``unordered_map<Vector3i, Voxel>`` with an
+    OpenVDB-style spatial hash (reference VoxelHashMap.hpp:25-98),
+  - the Submap's sparse ``mapCloud_`` (reference Submap.cpp:82-96, whose
+    full-map re-voxelize per scan is flagged as suboptimal in its own
+    comment — the round-2 sort-based insert here had the same flaw:
+    3 stable argsorts + top_k over the WHOLE map every scan, 19.6 ms at
+    131k capacity on a v5e chip).
 
-Design: the map is a fixed-capacity cloud of voxel means plus per-voxel
-accumulated weights.  Insertion concatenates the scan, lex-sorts by voxel
-key and reduces with weighted segment sums — an *exact* incremental voxel
-average (mean-of-means carries weights, so repeated insertion introduces no
-bias), computed as one fused XLA program per scan instead of the
-reference's per-point hash-map loop.  Capacity overflow keeps the
-highest-weight voxels (stable spatial backbone) — submap rollover bounds
-growth like the reference's submap budgets.
+Design (round 3): a fixed-capacity open-addressed hash table in HBM.
+Slots hold the voxel key (int32[3]) plus weighted sums of position /
+normal / descriptor channels.  Insertion is O(scan x probe_rounds):
+
+  1. hash each scan point's voxel key into a slot, linear probing;
+  2. resolve slot ownership concurrently with a scatter-min "claim"
+     (winner writes its key; same-key losers match it on the next round,
+     different-key losers advance their probe);
+  3. one scatter-add of the weighted contributions into the table.
+
+This replaces a map-sized sort per scan with ~3 gather/scatter rounds over
+the scan only (<0.5 ms) — the same asymptotics as the reference's per-point
+``unordered_map`` loop, but batched.  The accumulation is an *exact*
+weighted running mean (sums carry weights), identical to the reference's
+``AggregatedVoxel::aggregate*``.
+
+Deletion (space carving) uses tombstones: the slot keeps its key so linear
+probe chains never break, but its sums/weight reset to zero — a later
+observation of the same voxel re-accumulates from scratch.
+
+Capacity: when the table is full (or a probe chain exceeds the round
+budget) NEW voxels are dropped and counted in ``dropped`` — bounded growth
+is the submap rollover's job (reference point budgets Parameters.hpp:
+103-110; SubmapCollection rolls at 95% of capacity).  Size tables ~2x the
+expected voxel count to keep probe chains short.
 """
 from __future__ import annotations
 
@@ -26,114 +47,230 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pointcloud import PointCloud, SENTINEL
-from .hashgrid import voxel_key
+from .hashgrid import voxel_key, hash_key
 
 Array = jax.Array
 
+# Probe-round budget per insert.  Expected rounds at load factor <= 0.5 is
+# ~2-3; the budget only binds on pathological chains, whose points are
+# dropped and counted.
+_MAX_ROUNDS = 32
 
-@jax.tree_util.register_dataclass
+
 @dataclasses.dataclass(frozen=True)
 class VoxelMap:
-    """cloud: voxel-mean positions/normals; weight: points fused per voxel."""
+    """Open-addressed voxel table.  ``cloud`` (the voxel-mean point cloud)
+    is a derived view, computed lazily — cheap elementwise math."""
 
-    cloud: PointCloud
-    weight: Array  # f32[C]
+    key_table: Array   # int32[C,3] voxel coords per slot (valid iff occupied)
+    occupied: Array    # bool[C] slot has a key (tombstones stay occupied)
+    sum_xyz: Array     # f32[C,3] weighted position sums
+    sum_nrm: Array     # f32[C,3] weighted normal sums
+    weight: Array      # f32[C]   accumulated weights (0 => tombstone/empty)
+    cell: Array        # f32 scalar voxel edge length (0 until first insert)
+    dropped: Array     # f32 scalar — points lost to capacity/probe overflow
+    sum_attrs: "Array | None" = None  # optional f32[C,A] descriptor sums
+    attr_names: tuple = ()
 
     @property
     def capacity(self) -> int:
-        return self.cloud.capacity
+        return self.key_table.shape[0]
 
     def count(self) -> Array:
-        return self.cloud.count()
+        return jnp.sum(jnp.logical_and(self.occupied, self.weight > 0.0)
+                       .astype(jnp.int32))
+
+    @property
+    def cloud(self) -> PointCloud:
+        """Voxel means as a fixed-capacity masked PointCloud (derived view,
+        ≙ VoxelizedPointCloud::toPointCloud, Voxel.cpp)."""
+        m = jnp.logical_and(self.occupied, self.weight > 0.0)
+        denom = jnp.maximum(self.weight, 1e-9)[..., None]
+        xyz = jnp.where(m[..., None], self.sum_xyz / denom, SENTINEL)
+        nrm = self.sum_nrm / denom
+        nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = jnp.where(jnp.logical_and(m[..., None], nlen > 1e-6),
+                        nrm / (nlen + 1e-12), 0.0)
+        attrs = None
+        if self.sum_attrs is not None:
+            attrs = jnp.where(m[..., None], self.sum_attrs / denom, 0.0)
+        return PointCloud(xyz=xyz, normals=nrm, mask=m, attrs=attrs,
+                          attr_names=self.attr_names)
 
 
-def empty(capacity: int) -> VoxelMap:
-    from ..utils.pointcloud import empty_cloud
-
-    return VoxelMap(cloud=empty_cloud(capacity), weight=jnp.zeros((capacity,), jnp.float32))
-
-
-def _lex_order(vkey: Array) -> Array:
-    order = jnp.arange(vkey.shape[0], dtype=jnp.int32)
-    for axis in (2, 1, 0):
-        o = jnp.argsort(vkey[order, axis], stable=True)
-        order = order[o]
-    return order
+jax.tree_util.register_dataclass(
+    VoxelMap,
+    data_fields=("key_table", "occupied", "sum_xyz", "sum_nrm", "weight",
+                 "cell", "dropped", "sum_attrs"),
+    meta_fields=("attr_names",),
+)
 
 
-@partial(jax.jit, static_argnames=())
-def insert(vmap: VoxelMap, scan: PointCloud, voxel_size) -> VoxelMap:
+def _round_up_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def empty(capacity: int, attr_names: tuple = ()) -> VoxelMap:
+    """An empty table with capacity rounded up to a power of two."""
+    C = _round_up_pow2(max(capacity, 2))
+    return VoxelMap(
+        key_table=jnp.zeros((C, 3), jnp.int32),
+        occupied=jnp.zeros((C,), bool),
+        sum_xyz=jnp.zeros((C, 3), jnp.float32),
+        sum_nrm=jnp.zeros((C, 3), jnp.float32),
+        weight=jnp.zeros((C,), jnp.float32),
+        cell=jnp.float32(0.0),
+        dropped=jnp.float32(0.0),
+        sum_attrs=(jnp.zeros((C, len(attr_names)), jnp.float32)
+                   if attr_names else None),
+        attr_names=tuple(attr_names),
+    )
+
+
+def _assign_slots(key_table: Array, occupied: Array, key: Array, mask: Array):
+    """Resolve one table slot per scan point (or -1 on overflow).
+
+    Concurrent open-addressing in pure XLA: per round, each still-active
+    point probes slot (h0 + probe) & (C-1); empty slots are claimed with a
+    scatter-min of the point id (the winner writes its key), matching keys
+    assign, and different-key occupants advance the probe.  Same-key claim
+    losers re-check the SAME slot next round (the winner's key is there
+    now).  Returns (key_table', occupied', assigned int32[S]).
+    """
+    C = key_table.shape[0]
+    S = key.shape[0]
+    h0 = hash_key(key, C)
+    pid = jnp.arange(S, dtype=jnp.int32)
+
+    def cond(carry):
+        _, _, assigned, probe, it = carry
+        active = jnp.logical_and(assigned < 0, mask)
+        return jnp.logical_and(it < _MAX_ROUNDS, jnp.any(active))
+
+    def body(carry):
+        kt, occ, assigned, probe, it = carry
+        active = jnp.logical_and(assigned < 0, mask)
+        slot = (h0 + probe) & (C - 1)
+        s_occ = occ[slot]
+        s_key = kt[slot]
+        match = jnp.logical_and(s_occ, jnp.all(s_key == key, axis=-1))
+        want = jnp.logical_and(active, jnp.logical_not(s_occ))
+        # Claim empties: smallest point id wins each slot this round.
+        claim_idx = jnp.where(want, slot, C)
+        claim = jnp.full((C,), S, jnp.int32).at[claim_idx].min(
+            pid, mode="drop")
+        won = jnp.logical_and(want, claim[slot] == pid)
+        wslot = jnp.where(won, slot, C)
+        kt = kt.at[wslot].set(key, mode="drop")
+        occ = occ.at[wslot].set(True, mode="drop")
+        newly = jnp.logical_and(active, jnp.logical_or(match, won))
+        assigned = jnp.where(newly, slot, assigned)
+        # Advance only past occupied-with-different-key slots.
+        advance = jnp.logical_and(active,
+                                  jnp.logical_and(s_occ, jnp.logical_not(match)))
+        probe = probe + advance.astype(jnp.int32)
+        return kt, occ, assigned, probe, it + 1
+
+    # Derive the initial carry from ``mask`` so its varying-manual-axes type
+    # matches the loop body under shard_map (the table is device-varying
+    # while fresh constants would be replicated — JAX's vma typing rejects
+    # that mix in a while_loop carry).
+    vma_zero = jnp.where(mask, jnp.int32(0), jnp.int32(0))
+    assigned0 = vma_zero - 1
+    probe0 = vma_zero
+    kt, occ, assigned, _, _ = jax.lax.while_loop(
+        cond, body, (key_table, occupied, assigned0, probe0, jnp.int32(0)))
+    return kt, occ, assigned
+
+
+@jax.jit
+def insert(vmap: VoxelMap, scan: PointCloud, voxel_size,
+           weights: Array = None) -> VoxelMap:
     """Fuse a scan (already in map frame) into the voxel map.
 
-    Descriptor channels (color/intensity — ≙ AggregatedVoxel::aggregateColor,
-    reference Voxel.hpp:19-80) fuse with the same weighted running mean as
-    positions.  Channel set is taken from the first non-empty side; when both
-    carry attrs they are aligned to the common channels.
+    Descriptor channels (color/intensity — ≙ AggregatedVoxel::
+    aggregateColor, reference Voxel.hpp:19-80) fuse with the same weighted
+    running mean as positions; the channel set is adopted from the scan on
+    first contact and aligned to common channels afterwards.
     """
     from ..utils import pointcloud as pc
 
     C = vmap.capacity
-    map_cloud = vmap.cloud
-    if map_cloud.attrs is None and scan.attrs is not None:
-        # Adopt the scan's channel set (typical: empty map + colored scans).
-        map_cloud = dataclasses.replace(
-            map_cloud,
-            attrs=jnp.zeros((C, scan.attrs.shape[-1]), jnp.float32),
-            attr_names=scan.attr_names)
-    map_cloud, scan = pc._align_attrs(map_cloud, scan)
-    xyz = jnp.concatenate([map_cloud.xyz, scan.xyz], axis=0)
-    nrm = jnp.concatenate([map_cloud.normals, scan.normals], axis=0)
-    mask = jnp.concatenate([map_cloud.mask, scan.mask], axis=0)
-    attrs = None
-    if map_cloud.attrs is not None:
-        attrs = jnp.concatenate([map_cloud.attrs, scan.attrs], axis=0)
-    w = jnp.concatenate([vmap.weight, jnp.ones((scan.capacity,), jnp.float32)], axis=0)
-    w = jnp.where(mask, w, 0.0)
-    n = xyz.shape[0]
-
     cell = jnp.asarray(voxel_size, jnp.float32)
-    vkey = voxel_key(xyz, cell)
-    big = jnp.int32(2**30)
-    vkey = jnp.where(mask[:, None], vkey, big)
-    order = _lex_order(vkey)
-    sk = vkey[order]
-    new_seg = jnp.any(sk != jnp.roll(sk, 1, axis=0), axis=-1).at[0].set(True)
-    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    sw = w[order]
-    sum_w = jax.ops.segment_sum(sw, seg, num_segments=n)
-    sum_xyz = jax.ops.segment_sum(xyz[order] * sw[:, None], seg, num_segments=n)
-    sum_nrm = jax.ops.segment_sum(nrm[order] * sw[:, None], seg, num_segments=n)
-    denom = jnp.maximum(sum_w, 1e-9)[:, None]
-    mean_xyz = sum_xyz / denom
-    mean_nrm = sum_nrm / denom
-    nlen = jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True)
-    mean_nrm = jnp.where(nlen > 1e-6, mean_nrm / (nlen + 1e-12), 0.0)
-    mean_attrs = None
-    if attrs is not None:
-        sum_attrs = jax.ops.segment_sum(attrs[order] * sw[:, None], seg, num_segments=n)
-        mean_attrs = sum_attrs / denom
-    occupied = sum_w > 0
+    sum_attrs = vmap.sum_attrs
+    attr_names = vmap.attr_names
+    if sum_attrs is None and scan.attrs is not None:
+        sum_attrs = jnp.zeros((C, scan.attrs.shape[-1]), jnp.float32)
+        attr_names = scan.attr_names
+    scan_attrs = None
+    if sum_attrs is not None and scan.attrs is not None:
+        # Align the scan's channels to the map's channel order.
+        if tuple(scan.attr_names) == tuple(attr_names):
+            scan_attrs = scan.attrs
+        else:
+            cols = [scan.attr_names.index(k) for k in attr_names
+                    if k in scan.attr_names]
+            if len(cols) == len(attr_names):
+                scan_attrs = scan.attrs[:, jnp.asarray(cols)]
+    w = jnp.ones((scan.capacity,), jnp.float32) if weights is None else (
+        jnp.asarray(weights, jnp.float32))
+    w = jnp.where(scan.mask, w, 0.0)
 
-    # Keep the top-C voxels by weight when over capacity (stable backbone).
-    priority = jnp.where(occupied, sum_w, -1.0)
-    top = jax.lax.top_k(priority, C)[1]
-    keep_mask = occupied[top]
-    cloud = PointCloud(
-        xyz=jnp.where(keep_mask[:, None], mean_xyz[top], SENTINEL),
-        normals=jnp.where(keep_mask[:, None], mean_nrm[top], 0.0),
-        mask=keep_mask,
-        attrs=None if mean_attrs is None
-        else jnp.where(keep_mask[:, None], mean_attrs[top], 0.0),
-        attr_names=map_cloud.attr_names if mean_attrs is not None else (),
+    key = voxel_key(scan.xyz, cell)
+    kt, occ, assigned = _assign_slots(vmap.key_table, vmap.occupied, key,
+                                      scan.mask)
+    idx = jnp.where(assigned >= 0, assigned, C)  # drop overflow
+    sum_xyz = vmap.sum_xyz.at[idx].add(scan.xyz * w[:, None], mode="drop")
+    sum_nrm = vmap.sum_nrm.at[idx].add(scan.normals * w[:, None], mode="drop")
+    weight = vmap.weight.at[idx].add(w, mode="drop")
+    if sum_attrs is not None:
+        contrib = (scan_attrs * w[:, None] if scan_attrs is not None
+                   else jnp.zeros((scan.capacity, sum_attrs.shape[-1]),
+                                  jnp.float32))
+        sum_attrs = sum_attrs.at[idx].add(contrib, mode="drop")
+    n_dropped = jnp.sum(jnp.logical_and(scan.mask, assigned < 0)
+                        .astype(jnp.float32))
+    return VoxelMap(key_table=kt, occupied=occ, sum_xyz=sum_xyz,
+                    sum_nrm=sum_nrm, weight=weight, cell=cell,
+                    dropped=vmap.dropped + n_dropped,
+                    sum_attrs=sum_attrs, attr_names=attr_names)
+
+
+@jax.jit
+def from_cloud(template: VoxelMap, cloud: PointCloud, weights: Array,
+               cell: Array) -> VoxelMap:
+    """Rebuild a fresh table (same capacity/channels as ``template``) from a
+    weighted point set — used after rigid transforms, which invalidate every
+    stored voxel key."""
+    fresh = VoxelMap(
+        key_table=jnp.zeros_like(template.key_table),
+        occupied=jnp.zeros_like(template.occupied),
+        sum_xyz=jnp.zeros_like(template.sum_xyz),
+        sum_nrm=jnp.zeros_like(template.sum_nrm),
+        weight=jnp.zeros_like(template.weight),
+        cell=cell,
+        dropped=jnp.float32(0.0),
+        sum_attrs=None if template.sum_attrs is None
+        else jnp.zeros_like(template.sum_attrs),
+        attr_names=template.attr_names,
     )
-    return VoxelMap(cloud=cloud, weight=jnp.where(keep_mask, sum_w[top], 0.0))
+    return insert(fresh, cloud, cell, weights=weights)
 
 
 @jax.jit
 def transform(vmap: VoxelMap, T: Array) -> VoxelMap:
     """Rigidly move the whole map (loop-closure feedback onto submaps,
-    reference Submap::transform, Submap.cpp:115-128)."""
-    return VoxelMap(cloud=vmap.cloud.transform(T), weight=vmap.weight)
+    reference Submap::transform, Submap.cpp:115-128).  Voxel keys change
+    under the motion, so the table is rebuilt by re-inserting the
+    transformed voxel means with their accumulated weights (rare event:
+    pose-graph feedback only)."""
+    moved = vmap.cloud.transform(jnp.asarray(T, jnp.float32))
+    # Guard the empty map (cell 0 would collapse every key to one voxel).
+    cell = jnp.where(vmap.cell > 0, vmap.cell, jnp.float32(1.0))
+    return from_cloud(vmap, moved, vmap.weight, cell)
 
 
 @partial(jax.jit, static_argnames=("steps",))
@@ -145,13 +282,11 @@ def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_si
 
     Fixed-shape formulation: sample ``steps`` points along every valid ray
     between the sensor and (hit distance - truncation); build a hash-grid
-    occupancy of the sampled free-space voxels; drop map points whose voxel
-    is flagged.  Hash collisions can over-carve with probability ~N/2^32 per
-    voxel — negligible against LiDAR noise (the reference's carving is also
-    voxel-approximate).
+    occupancy of the sampled free-space voxels; tombstone map slots whose
+    mean falls in a flagged voxel (key kept — probe chains stay intact —
+    sums zeroed so the voxel re-accumulates if re-observed).
     """
     from . import hashgrid
-    from ..utils.pointcloud import make_cloud
 
     origin = jnp.asarray(sensor_origin, jnp.float32)
     ray = jnp.where(scan.mask[:, None], scan.xyz - origin, 0.0)
@@ -172,10 +307,17 @@ def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_si
         mask=flat_ok,
     )
     grid = hashgrid.build(free_cloud, carve_voxel_size, table_size=1 << 16)
-    carved = hashgrid.occupied_voxel_lookup(grid, vmap.cloud.xyz, vmap.cloud.mask)
-    keep = jnp.logical_not(carved)
-    return VoxelMap(cloud=vmap.cloud.with_mask(keep),
-                    weight=jnp.where(jnp.logical_and(vmap.cloud.mask, keep), vmap.weight, 0.0))
+    means = vmap.cloud
+    carved = hashgrid.occupied_voxel_lookup(grid, means.xyz, means.mask)
+    keep = jnp.logical_not(carved)[:, None]
+    return dataclasses.replace(
+        vmap,
+        sum_xyz=jnp.where(keep, vmap.sum_xyz, 0.0),
+        sum_nrm=jnp.where(keep, vmap.sum_nrm, 0.0),
+        weight=jnp.where(keep[:, 0], vmap.weight, 0.0),
+        sum_attrs=None if vmap.sum_attrs is None
+        else jnp.where(keep, vmap.sum_attrs, 0.0),
+    )
 
 
 @partial(jax.jit, static_argnames=("max_per_bucket",))

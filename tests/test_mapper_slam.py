@@ -24,6 +24,9 @@ def world():
 
 
 def default_params(**mapper_overrides):
+    # Shapes sized for the 2-CPU CI box (VERDICT r2 item 4): the physics
+    # (voxel 0.15 over a 18 m crop, 3k-pt scans) keeps ICP well-conditioned
+    # while the NN sweep stays ~8x cheaper than production shapes.
     overrides = {
         "mapper": {
             "mapper_localizer": {
@@ -34,15 +37,15 @@ def default_params(**mapper_overrides):
                     "icp": {"max_n_iter": 20, "max_correspondence_dist": 0.6},
                     "scan_processing": {
                         "voxel_size": 0.15,
-                        "point_capacity": 8192,
-                        "scan_cropping": {"cropping_radius_max": 28.0,
+                        "point_capacity": 4096,
+                        "scan_cropping": {"cropping_radius_max": 18.0,
                                           "cropping_radius_min": 0.5},
                     },
-                    "map_patch_capacity": 32768,
+                    "map_patch_capacity": 12288,
                 },
                 **mapper_overrides,
             },
-            "submaps": {"point_capacity": 65536, "submap_size": 15.0},
+            "submaps": {"point_capacity": 24576, "submap_size": 15.0},
             "map_builder": {"map_voxel_size": 0.1},
         }
     }
@@ -59,7 +62,7 @@ def run_sequence(world, n_steps=25, drift=0.004, step=0.4, params=None, noise=0.
     times = [0.1 * i for i in range(n_steps)]
     est = []
     for i in range(n_steps):
-        scan = synthetic.render_scan(world, gt_poses[i], keys[i], n_points=6144,
+        scan = synthetic.render_scan(world, gt_poses[i], keys[i], n_points=3072,
                                      noise=noise)
         mapper.odom_buffer.push(times[i], odom_poses[i])
         mapper.add_range_measurement(scan, times[i])
@@ -68,18 +71,18 @@ def run_sequence(world, n_steps=25, drift=0.004, step=0.4, params=None, noise=0.
 
 
 def test_mapper_tracks_straight_line(world):
-    gt, odom, est, mapper = run_sequence(world, n_steps=25)
+    gt, odom, est, mapper = run_sequence(world, n_steps=18)
     ate_est = io.ate_rmse(np.stack(est), np.stack(gt), align=False)
     ate_odom = io.ate_rmse(np.stack(odom), np.stack(gt), align=False)
     # The refined trajectory must be accurate in absolute terms.
     assert ate_est < 0.06, f"ATE {ate_est:.3f} m too high (odometry drift {ate_odom:.3f})"
-    assert mapper.stats.scans_processed == 25
+    assert mapper.stats.scans_processed == 18
     # Map contains a reasonable number of fused points.
-    assert int(mapper.submaps.active_submap.map.count()) > 5000
+    assert int(mapper.submaps.active_submap.map.count()) > 3000
 
 
 def test_mapper_beats_drifting_odometry(world):
-    gt, odom, est, mapper = run_sequence(world, n_steps=30, drift=0.01)
+    gt, odom, est, mapper = run_sequence(world, n_steps=20, drift=0.012)
     ate_est = io.ate_rmse(np.stack(est), np.stack(gt), align=False)
     ate_odom = io.ate_rmse(np.stack(odom), np.stack(gt), align=False)
     assert ate_odom > 0.03  # the prior actually drifts
@@ -88,8 +91,8 @@ def test_mapper_beats_drifting_odometry(world):
 
 def test_submap_rollover(world):
     params = default_params()
-    gt, odom, est, mapper = run_sequence(world, n_steps=60, step=0.65, params=params)
-    # 60 * 0.65 = 39 m traveled with submap_size 15 -> at least 2 submaps.
+    gt, odom, est, mapper = run_sequence(world, n_steps=34, step=1.1, params=params)
+    # 34 * 1.1 = 37 m traveled with submap_size 15 -> at least 2 submaps.
     assert len(mapper.submaps.submaps) >= 2
     # Adjacency edges exist between consecutive submaps.
     sm = mapper.submaps.submaps

@@ -33,9 +33,13 @@ def test_insert_weighted_mean_is_exact():
     np.testing.assert_allclose(xyz[0], np.asarray(pts).mean(0), atol=1e-5)
 
 
-def test_capacity_keeps_heaviest_voxels():
+def test_capacity_drops_new_voxels_and_counts():
+    """Open-addressed capacity semantics: a full table keeps its existing
+    voxels (the stable spatial backbone) and drops NEW ones, counting them
+    in ``dropped`` — bounded growth is the submap rollover's job
+    (≙ reference point budgets Parameters.hpp:103-110; SubmapCollection
+    rolls to a new submap at 95% occupancy)."""
     vm = voxel_map.empty(2)
-    # Three voxels; voxel B gets the most points.
     a = make_cloud(jnp.array([[0.0, 0, 0]]))
     b = make_cloud(jnp.array([[1.0, 0.01, 0.0], [1.01, 0.02, 0.0], [1.02, 0.01, 0.01]]))
     c = make_cloud(jnp.array([[2.0, 0, 0], [2.01, 0, 0]]))
@@ -44,7 +48,28 @@ def test_capacity_keeps_heaviest_voxels():
     vm = voxel_map.insert(vm, c, 0.5)
     xyz = np.asarray(vm.cloud.xyz)[np.asarray(vm.cloud.mask)]
     xs = sorted(np.round(xyz[:, 0], 1).tolist())
-    assert xs == [1.0, 2.0]  # the 1-point voxel was evicted
+    assert xs == [0.0, 1.0]  # first-come voxels kept, overflow dropped
+    assert float(vm.dropped) == 2.0  # both points of voxel C were dropped
+    # Updates to EXISTING voxels still land when the table is full.
+    vm = voxel_map.insert(vm, make_cloud(jnp.array([[0.01, 0, 0]])), 0.5)
+    w = np.asarray(vm.weight)
+    assert w.sum() == 5.0
+
+
+def test_insert_many_voxels_no_loss_below_capacity():
+    """Hash-collision resilience: hundreds of distinct voxels at load
+    factor ~0.5 all find slots via linear probing."""
+    key = jax.random.PRNGKey(3)
+    pts = jax.random.uniform(key, (500, 3)) * 50.0
+    vm = voxel_map.empty(1024)
+    vm = voxel_map.insert(vm, make_cloud(pts), 0.1)
+    # Distinct voxels at 0.1m over a 50m box: collisions in space are rare
+    # but possible; count must equal the exact distinct-key count.
+    import numpy as _np
+    keys = _np.floor(_np.asarray(pts) / 0.1).astype(_np.int64)
+    distinct = len({tuple(k) for k in keys})
+    assert int(vm.count()) == distinct
+    assert float(vm.dropped) == 0.0
 
 
 def test_transform():
