@@ -70,6 +70,7 @@ class SlamWrapper:
         self._workers: List[threading.Thread] = []
         self._stop = threading.Event()
         self._lc_lock = threading.Lock()
+        self._feature_lock = threading.Lock()  # serialize feature passes
         self.loop_closure_count = 0
         self.optimized_graph_available = False
         self._pending_increments = None
@@ -77,6 +78,9 @@ class SlamWrapper:
         self.trajectory_poses: List[np.ndarray] = []
         # Online bookkeeping so finish_processing can drain exactly.
         self._scans_accepted = 0
+        # Which threads ran feature computation (observability: the online
+        # smoke test asserts the map worker never does).
+        self._feature_compute_threads: List[str] = []
 
     # ------------------------------------------------------------------ feeds
 
@@ -98,6 +102,15 @@ class SlamWrapper:
     def set_initial_transform(self, T: np.ndarray) -> None:
         self.mapper.set_map_to_range_sensor(T)
         self.odometry.set_initial_transform(T)
+
+    def set_external_odometry_frame_to_cloud_frame_calibration(
+            self, T: np.ndarray) -> None:
+        """≙ setExternalOdometryFrameToCloudFrameCalibration (reference
+        SlamWrapper, fed by OnlineRangeDataProcessorRos.cpp:32-102 after
+        its TF lookup-with-retry): external odometry poses track a body
+        frame; the mapper's initial-guess math de-rotates them into the
+        cloud frame through this transform."""
+        self.mapper.calibration = np.asarray(T, dtype=np.float32).reshape(4, 4)
 
     def set_initial_map(self, map_cloud: PointCloud, time: float = 0.0) -> None:
         """Localization bootstrap (≙ setInitialMap, SlamWrapper.cpp:460-472):
@@ -149,19 +162,28 @@ class SlamWrapper:
                                              mc.is_spinning_clockwise)
 
     def compute_features_if_ready(self) -> None:
-        """≙ computeFeaturesIfReady (SlamWrapper.cpp:1039-1047)."""
+        """≙ computeFeaturesIfReady (SlamWrapper.cpp:1039-1047).
+
+        In online mode this runs on its OWN worker thread (the analogue of
+        the reference's ``std::async`` hand-off) so FPFH/descriptor work on
+        finished submaps never stalls the map worker's scan latency; the
+        offline deterministic stepper calls it inline.
+        """
         sc = self.mapper.submaps
-        if not sc.finished_queue:
-            return
-        finished = [idx for idx, _ in sc.finished_queue]
-        sc.compute_features_for_finished()
-        mp = self.params.mapper
-        odo = compute_odometry_constraints(
-            sc.submaps, finished,
-            map_voxel_size=mp.map_builder.map_voxel_size,
-            overlap_capacity=mp.place_recognition.overlap_point_capacity,
-            refine=mp.mapper_localizer.is_refine_odometry_constraints_between_submaps)
-        self.optimization.insert_odometry_constraints(odo)
+        with self._feature_lock:
+            if not sc.finished_queue:
+                return
+            finished = [idx for idx, _ in sc.finished_queue]
+            sc.compute_features_for_finished()
+            self._feature_compute_threads.append(threading.current_thread().name)
+            mp = self.params.mapper
+            odo = compute_odometry_constraints(
+                sc.submaps, finished,
+                map_voxel_size=mp.map_builder.map_voxel_size,
+                overlap_capacity=mp.place_recognition.overlap_point_capacity,
+                refine=mp.mapper_localizer.is_refine_odometry_constraints_between_submaps)
+        with self._lc_lock:
+            self.optimization.insert_odometry_constraints(odo)
 
     def attempt_loop_closures_if_ready(self) -> None:
         """≙ attemptLoopClosuresIfReady + loopClosureWorker
@@ -264,7 +286,9 @@ class SlamWrapper:
                             (scan, self.mapper.map_to_range_sensor.copy()))
                     except queue.Full:
                         pass  # bounded buffer: drop, like the reference
-                self.compute_features_if_ready()
+                # Feature computation happens on the feature worker (async,
+                # ≙ SlamWrapper.cpp:1039-1047 std::async) — the map worker
+                # only applies finished pose-graph results.
                 self.check_if_optimized_graph_available()
 
         def dense_worker():
@@ -277,6 +301,15 @@ class SlamWrapper:
                     continue
                 self.mapper.submaps.insert_dense(scan.transform(jnp.asarray(pose)))
 
+        def feature_worker():
+            # ≙ the std::async feature hand-off (SlamWrapper.cpp:1039-1047):
+            # descriptor/FPFH work on finished submaps runs off the map
+            # worker's critical path.
+            while not self._stop.is_set():
+                if self.mapper.submaps.finished_queue:
+                    self.compute_features_if_ready()
+                _time.sleep(0.02)
+
         def lc_worker():
             while not self._stop.is_set():
                 if self.params.mapper.mapper_localizer.is_attempt_loop_closures:
@@ -284,7 +317,8 @@ class SlamWrapper:
                 _time.sleep(0.02)
 
         for fn, name in ((odom_worker, "odom"), (map_worker, "map"),
-                         (dense_worker, "dense"), (lc_worker, "lc")):
+                         (dense_worker, "dense"), (feature_worker, "features"),
+                         (lc_worker, "lc")):
             t = threading.Thread(target=fn, name=f"slam-{name}", daemon=True)
             t.start()
             self._workers.append(t)

@@ -231,6 +231,21 @@ def _f_remove_sensor_bias(cloud, key, p):
         p.get("angleThreshold", 0.785)))
 
 
+def _f_organized_surface_normal(cloud, key, p):
+    # The reference reads the image shape off the DataPoints' IndexGrid;
+    # fixed-shape clouds carry none, so the chain config must provide it
+    # ("rows"/"cols" — sensor-specific, e.g. 16x1800 for an RS16).
+    if "rows" not in p or "cols" not in p:
+        raise ValueError(
+            "OrganizedCloudSurfaceNormalDataPointsFilter needs explicit "
+            "'rows' and 'cols' (the range-image shape; the reference reads "
+            "them from DataPoints::IndexGrid which fixed-shape clouds lack)")
+    return normals.organized_surface_normals(
+        cloud, rows=int(p["rows"]), cols=int(p["cols"]),
+        knn=int(p.get("knn", 5)),
+        max_dist=float(p.get("maxDist", float("inf"))))
+
+
 _FILTERS = {
     "identity": _f_identity,
     "removenan": _f_remove_nan,
@@ -257,6 +272,18 @@ _FILTERS = {
     "hiddenpointremoval": _f_hidden_point_removal,
     "cutatdescriptorthreshold": _f_cut_at_descriptor,
     "removesensorbias": _f_remove_sensor_bias,
+    "organizedcloudsurfacenormal": _f_organized_surface_normal,
+}
+
+# Intentionally excluded registry entries (reference Registry.cpp:87-94):
+#   Elipsoids / Gestalt — research-grade shape-decomposition descriptors
+#   (505/630 LoC) used by NO reference config, launch file, or SLAM
+#   parameter set; they exist upstream for the 2015 Gestalt paper's
+#   experiments.  FilterPipeline raises a clear error naming the exclusion
+#   rather than silently accepting them.
+_EXCLUDED_FILTERS = {
+    "elipsoids": "shape-decomposition descriptor unused by any reference config",
+    "gestalt": "Gestalt descriptor unused by any reference config",
 }
 
 
@@ -273,6 +300,10 @@ class FilterPipeline:
         self.specs = []
         for raw_name, params in specs:
             name = _canon(raw_name)
+            if name in _EXCLUDED_FILTERS:
+                raise ValueError(
+                    f"DataPointsFilter {raw_name!r} is intentionally "
+                    f"unsupported: {_EXCLUDED_FILTERS[name]}")
             if name not in _FILTERS:
                 raise ValueError(
                     f"unknown DataPointsFilter {raw_name!r} (canonical {name!r}); "
@@ -311,6 +342,14 @@ _OUTLIER_MAP = {
                          str(p.get("scaleEstimator", "none")),
                          str(p.get("distanceType", "point2point")),
                          float(p.get("approximation", float("inf")))),
+    # (soft, larger, threshold); descName handled separately — the chain
+    # builds the reference grid with that channel (reference
+    # OutlierFiltersImpl.h:196-221; the upstream code reads the REFERENCE
+    # cloud's descriptor for either 'source' setting).
+    "genericdescriptor": lambda p: ("generic_desc",
+                                    bool(int(p.get("useSoftThreshold", 0))),
+                                    bool(int(p.get("useLargerThan", 1))),
+                                    float(p.get("threshold", 0.1))),
 }
 
 _MINIMIZER_MAP = {
@@ -337,6 +376,9 @@ class IcpChain:
     config: ICPConfig
     with_covariance: bool = False
     sensor_std: float = 0.01
+    # Reference descriptor channel consumed by GenericDescriptorOutlierFilter
+    # (the grid is built carrying this channel).
+    ref_desc_channel: str = None
 
     def process_reading(self, cloud: PointCloud, key=None) -> PointCloud:
         return self.reading_filters(cloud, key)
@@ -364,10 +406,12 @@ class IcpChain:
                     self.config.max_correspondence_dist):
                 # Dense matchers only read points/normals; no CSR index (and
                 # maxDist=inf, the KDTreeMatcher default, has no voxel size).
-                grid = hashgrid.passthrough(ref, 1.0)
+                grid = hashgrid.passthrough(ref, 1.0,
+                                            desc_channel=self.ref_desc_channel)
             else:
                 grid = hashgrid.build(ref, self.config.max_correspondence_dist,
-                                      table_size=table_size)
+                                      table_size=table_size,
+                                      desc_channel=self.ref_desc_channel)
         else:
             grid = reference
         if self.with_covariance:
@@ -409,8 +453,18 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
         # exact search is a strict quality upgrade.
         cfg_kw["max_correspondence_dist"] = float(params.get("maxDist", float("inf")))
         cfg_kw["knn"] = int(params.get("knn", 1))
+        if cname == "kdtreevardist":
+            # Per-reading-point search radius from a descriptor channel
+            # (reference KDTreeVarDistMatcher, MatchersImpl.h:119-148 —
+            # libnabo maxRadii from the ``maxDistField`` descriptor,
+            # default "maxSearchDist").  The gate applies after the NN
+            # gather (icp._vardist_gate); registration fails fast at trace
+            # time if the reading cloud lacks the channel.
+            cfg_kw["max_dist_field"] = str(params.get("maxDistField",
+                                                      "maxSearchDist"))
 
     # outlier filters ---------------------------------------------------------
+    ref_desc_channel = None
     ofs = _entries(chain.get("outlierFilters"))
     if ofs:
         entries = []
@@ -419,6 +473,8 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
             if cname not in _OUTLIER_MAP:
                 raise ValueError(f"unknown outlier filter {name!r}; "
                                  f"known: {sorted(_OUTLIER_MAP)}")
+            if cname == "genericdescriptor":
+                ref_desc_channel = str(params.get("descName", "none"))
             entries.append(_OUTLIER_MAP[cname](params))
         cfg_kw["outlier_chain"] = tuple(entries)
 
@@ -459,7 +515,7 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
     # through utils.timing and the iteration-dump inspector (inspectors.py).
     return IcpChain(reading_filters=reading, reference_filters=reference,
                     config=ICPConfig(**cfg_kw), with_covariance=with_cov,
-                    sensor_std=sensor_std)
+                    sensor_std=sensor_std, ref_desc_channel=ref_desc_channel)
 
 
 def from_yaml(path: str, matcher_impl: str = "bruteforce") -> IcpChain:

@@ -62,6 +62,12 @@ class ICPConfig:
     # MatchersImpl.cpp:118-133).  knn>1 stacks all k matches as
     # correspondences, exactly like ErrorElements assembly.
     knn: int = 1
+    # Per-point maximum match distance read from this attr channel
+    # (reference KDTreeVarDistMatcher, MatchersImpl.h:119-148: libnabo
+    # radius search with per-reading-point maxRadii from the descriptor
+    # named ``maxDistField``, default "maxSearchDist").  Applied as a gate
+    # after the NN gather; None disables.
+    max_dist_field: Optional[str] = None
     robust_kernel: Optional[str] = None  # cauchy/welsch/huber/... or None
     robust_k: float = 0.5
     max_per_bucket: int = 32
@@ -107,13 +113,15 @@ class ICPResult:
 
 
 def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm,
-             slot_mask=None, p2plane_sq=None):
+             slot_mask=None, p2plane_sq=None, ref_desc=None):
     """Compose the outlier-filter chain into per-correspondence weights.
 
     slot_mask = valid reading lanes (x knn) — the quantile basis of the
     reference's getDistsQuantile (includes not-found matches as +inf).
     p2plane_sq = squared point-to-plane residuals, consumed by
     RobustOutlierFilter's distanceType: point2plane.
+    ref_desc = matched reference point's 1-D descriptor, consumed by
+    GenericDescriptorOutlierFilter (grid built with desc_channel).
     """
     if slot_mask is None:
         slot_mask = found
@@ -141,6 +149,24 @@ def _weights(cfg: ICPConfig, sq_dists, found, src_nrm, ref_nrm,
                     sq_dists, found, kind, tuning, scale_estimator=scale_est,
                     p2plane_sq=p2plane_sq, distance_type=dist_type,
                     approximation=approx)
+            elif name == "generic_desc":
+                # GenericDescriptorOutlierFilter (reference
+                # OutlierFiltersImpl.cpp:304-369): weight from the MATCHED
+                # reference point's 1-D descriptor (the reference reads
+                # filteredReference for both source settings).  Soft mode
+                # uses the descriptor itself, normalized by its max.
+                soft, larger, threshold = params
+                if ref_desc is None:
+                    raise ValueError(
+                        "GenericDescriptorOutlierFilter needs a reference "
+                        "grid built with desc_channel=<descName>")
+                if soft:
+                    g = jnp.where(found, ref_desc, 0.0)
+                    w = w * g / jnp.maximum(jnp.max(g), 1e-12)
+                elif larger:
+                    w = w * (ref_desc > threshold).astype(jnp.float32)
+                else:
+                    w = w * (ref_desc < threshold).astype(jnp.float32)
             elif name == "null":
                 pass
             else:
@@ -162,7 +188,9 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
     Returns flattened per-correspondence arrays
     (src[N*K,3], src_nrm[N*K,3], slot_mask[N*K], ref_pts[N*K,3],
     ref_nrm[N*K,3], d2[N*K], found[N*K]) plus per_point_found[N] for
-    overlap/fitness reporting.  For knn=1 the arrays pass through
+    overlap/fitness reporting and ref_desc[N*K] (the matched reference
+    point's 1-D descriptor — None unless the grid carries one; consumed by
+    GenericDescriptorOutlierFilter).  For knn=1 the arrays pass through
     unflattened (K=1).
     """
     if cfg.knn > 1:
@@ -177,7 +205,8 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
         return (jnp.repeat(src, k, axis=0), jnp.repeat(src_nrm, k, axis=0),
                 jnp.repeat(mask, k), ref_grid.points[flat_idx],
                 ref_grid.normals[flat_idx], d2.reshape(-1),
-                ok.reshape(-1), per_point_found)
+                ok.reshape(-1), per_point_found,
+                None if ref_grid.desc is None else ref_grid.desc[flat_idx])
     if cfg.matcher == "sharded":
         # Each device searches its own map shard; the global winner reduces
         # over the mesh axis with one pmin + two psum rounds (the multi-chip
@@ -197,13 +226,19 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
         is_winner = (claim == winner)[:, None]
         ref_pts = jax.lax.psum(jnp.where(is_winner, local_pts, 0.0), cfg.shard_axis)
         ref_nrm = jax.lax.psum(jnp.where(is_winner, local_nrm, 0.0), cfg.shard_axis)
+        ref_desc = None
+        if ref_grid.desc is not None:
+            ref_desc = jax.lax.psum(
+                jnp.where(is_winner[:, 0], ref_grid.desc[idx], 0.0),
+                cfg.shard_axis)
         found = jnp.logical_and(mask, jnp.isfinite(best_d2))
         d2 = jnp.where(found, best_d2, jnp.inf)
-        return src, src_nrm, mask, ref_pts, ref_nrm, d2, found, found
+        return src, src_nrm, mask, ref_pts, ref_nrm, d2, found, found, ref_desc
     if cfg.matcher == "pallas":
         from .. import pallas_nn
 
-        idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points)
+        idx, d2 = pallas_nn.nn_pallas(src, ref_grid.points,
+                                      cfg.max_correspondence_dist)
         found = jnp.logical_and(mask, d2 <= cfg.max_correspondence_dist**2)
     elif cfg.matcher == "bruteforce":
         idx, d2, found = bruteforce.nn(src, mask, ref_grid.points,
@@ -214,7 +249,25 @@ def _match(cfg: ICPConfig, src: Array, src_nrm: Array, mask: Array,
             max_per_bucket=cfg.max_per_bucket,
         )
     return (src, src_nrm, mask, ref_grid.points[idx], ref_grid.normals[idx],
-            d2, found, found)
+            d2, found, found,
+            None if ref_grid.desc is None else ref_grid.desc[idx])
+
+
+def _vardist_gate(cfg: ICPConfig, source: PointCloud, d2: Array, found: Array,
+                  per_point_found: Array):
+    """Per-point maximum match distance (≙ KDTreeVarDistMatcher,
+    MatchersImpl.h:119-148): reject matches beyond the radius stored in the
+    reading's ``cfg.max_dist_field`` attr channel."""
+    if cfg.max_dist_field is None:
+        return found, per_point_found
+    vd = source.attr(cfg.max_dist_field)  # [N]
+    if cfg.knn > 1:
+        found = jnp.logical_and(found, d2 <= jnp.repeat(vd * vd, cfg.knn))
+        per_point_found = jnp.any(found.reshape(-1, cfg.knn), axis=-1)
+    else:
+        found = jnp.logical_and(found, d2 <= vd * vd)
+        per_point_found = found
+    return found, per_point_found
 
 
 def reference_centroid(ref_grid: hashgrid.HashGrid,
@@ -242,13 +295,15 @@ def iteration_step(cfg: ICPConfig, source: PointCloud, ref_grid: hashgrid.HashGr
     """
     src = se3.apply(T, source.xyz)
     src_nrm = se3.rotate(T, source.normals)
-    src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, per_point_found = _match(
-        cfg, src, src_nrm, source.mask, ref_grid)
+    (src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, per_point_found,
+     ref_desc) = _match(cfg, src, src_nrm, source.mask, ref_grid)
+    found, per_point_found = _vardist_gate(cfg, source, d2, found,
+                                           per_point_found)
     # Squared point-to-plane residual, consumed by RobustOutlierFilter's
     # distanceType: point2plane (reference OutlierFiltersImpl.cpp:461-494).
     pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
     w = _weights(cfg, d2, found, src_nrm, ref_nrm,
-                 slot_mask=slot_mask, p2plane_sq=pp * pp)
+                 slot_mask=slot_mask, p2plane_sq=pp * pp, ref_desc=ref_desc)
 
     src_c = jnp.where(found[:, None], src - centroid, 0.0)
     ref_c = jnp.where(found[:, None], ref_pts - centroid, 0.0)
@@ -417,11 +472,12 @@ def register_with_covariance(source: PointCloud, ref_grid: hashgrid.HashGrid,
     # Same matcher selection as the solve loop (cfg.matcher / cfg.knn), so
     # the covariance is evaluated over the correspondence set the solution
     # actually used.
-    src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, _ = _match(
-        cfg, src, src_nrm, source.mask, ref_grid)
+    (src, src_nrm, slot_mask, ref_pts, ref_nrm, d2, found, ppf,
+     ref_desc) = _match(cfg, src, src_nrm, source.mask, ref_grid)
+    found, _ = _vardist_gate(cfg, source, d2, found, ppf)
     pp = jnp.sum((src - ref_pts) * ref_nrm, axis=-1)
     w = _weights(cfg, d2, found, src_nrm, ref_nrm,
-                 slot_mask=slot_mask, p2plane_sq=pp * pp)
+                 slot_mask=slot_mask, p2plane_sq=pp * pp, ref_desc=ref_desc)
     centroid = reference_centroid(ref_grid, cfg.shard_axis)
     src_c = jnp.where(found[:, None], src - centroid, 0.0)
     if cfg.minimizer == "point_to_plane":

@@ -23,14 +23,14 @@ def loop_params():
                     "scan_to_map_refinement_type": "PointToPlaneIcp",
                     "icp": {"max_n_iter": 15, "max_correspondence_dist": 0.6},
                     "scan_processing": {
-                        "voxel_size": 0.15, "point_capacity": 8192,
-                        "scan_cropping": {"cropping_radius_max": 22.0,
+                        "voxel_size": 0.15, "point_capacity": 4096,
+                        "scan_cropping": {"cropping_radius_max": 18.0,
                                           "cropping_radius_min": 0.5},
                     },
-                    "map_patch_capacity": 32768,
+                    "map_patch_capacity": 12288,
                 },
             },
-            "submaps": {"point_capacity": 65536, "submap_size": 8.0,
+            "submaps": {"point_capacity": 24576, "submap_size": 8.0,
                         "min_num_range_data": 3, "submaps_num_scan_overlap": 3},
             "map_builder": {"map_voxel_size": 0.12},
             "place_recognition": {
@@ -132,3 +132,41 @@ def test_online_workers_smoke():
     assert len(slam.trajectory_poses) == 6
     err = np.linalg.norm(slam.trajectory_poses[-1][:3, 3] - gt[5][:3, 3])
     assert err < 0.1
+
+
+def test_online_features_computed_off_map_worker():
+    """Async feature computation (≙ SlamWrapper.cpp:1039-1047 std::async):
+    when a submap finishes ONLINE, its FPFH/descriptor pass must run on the
+    dedicated feature worker — never on the map worker's critical path."""
+    import time as _t
+
+    world = synthetic.cluttered_world(jax.random.PRNGKey(14), extent=24.0,
+                                      n_objects=24)
+    n = 12
+    # Travel far enough (> submap_size 8 m) to finish at least one submap.
+    gt = synthetic.straight_trajectory(n, step=1.1, start=(2.0, 0.0, 1.0))
+    slam = SlamWrapper(loop_params())
+    slam.set_initial_transform(gt[0])
+    slam.start_workers()
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    for i in range(n):
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=4096,
+                                     max_range=14.0)
+        slam.add_odometry_pose(0.1 * i, gt[i])
+        while not slam.add_range_scan(scan, 0.1 * i):
+            _t.sleep(0.01)
+    deadline = _t.time() + 240
+    while _t.time() < deadline:
+        done = (len(slam.trajectory_poses) >= n
+                and len(slam.mapper.submaps.submaps) >= 2
+                and not slam.mapper.submaps.finished_queue)
+        if done:
+            break
+        _t.sleep(0.05)
+    slam.stop_workers()
+    assert len(slam.mapper.submaps.submaps) >= 2, "no rollover happened"
+    threads = slam._feature_compute_threads
+    assert threads, "features were never computed online"
+    assert all(t == "slam-features" for t in threads), threads
+    # The finished submap actually got its descriptors.
+    assert any(s.features is not None for s in slam.mapper.submaps.submaps)
