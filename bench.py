@@ -56,8 +56,18 @@ def _provenance():
 
 
 def main():
+    import pathlib
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: axon-tunnel TPU compiles are 20-40 s each;
+    # cache them so bench reruns measure compute, not the compiler.
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from open3d_slam_advanced_rss_2024_public_tpu.frontends import synthetic
     from open3d_slam_advanced_rss_2024_public_tpu.models import pipeline
@@ -90,6 +100,9 @@ def main():
             map_cloud, scan, capacity=N_MAP + N_MAP // 2)
     map_cloud = filters.voxel_downsample(map_cloud, 0.05, capacity=N_MAP)
     map_cloud = normals.estimate_normals(map_cloud, radius=0.6, k=16)
+    # Production layout: preprocess_scan / crop_submap_and_index Morton-sort
+    # both sides so the tile-sparse NN kernel's AABB admissibility fires.
+    map_cloud = hashgrid.morton_sort(map_cloud, 0.5)
     grid = hashgrid.passthrough(map_cloud, 0.5)
 
     # Source: an INDEPENDENT scan rendered from a displaced pose (sensor
@@ -99,6 +112,7 @@ def main():
     src = synthetic.render_scan(world, pose_src, jax.random.PRNGKey(99),
                                 n_points=N_SRC, max_range=25.0, noise=0.004)
     src = normals.estimate_normals(src, radius=0.6, k=16)
+    src = hashgrid.morton_sort(src, 0.5)
     # Initial guess: true pose with odometry-scale error.
     T_err = np.asarray(se3.make_transform(
         se3.so3_exp(jnp.asarray([0.005, -0.004, 0.01], jnp.float32)),
