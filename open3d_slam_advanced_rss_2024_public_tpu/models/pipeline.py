@@ -88,7 +88,12 @@ class StepOutput:
     inserted: Array  # bool scalar
 
 
+@partial(jax.jit, static_argnames=("map_capacity",))
 def init_state(map_capacity: int, init_pose: Optional[Array] = None) -> MapState:
+    # jitted so the state's buffers are PROGRAM OUTPUTS: donating raw
+    # client-allocated buffers into mapper_step_delta trips an
+    # InvalidArgument in the axon TPU backend (observed round 3); compiled
+    # outputs donate cleanly.
     T = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.asarray(
         init_pose, jnp.float32)
     return MapState(map=voxel_map.empty(map_capacity), pose=T,
@@ -105,6 +110,27 @@ def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
     mode / map-merge delay, ≙ Mapper.cpp:466-479) — a traced scalar, so
     flipping it never recompiles.
     """
+    return _step(state, raw_scan, estimate_T, cfg, insert_enable)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def mapper_step_delta(state: MapState, raw_scan: PointCloud, odom_delta: Array,
+                      cfg: PipelineConfig,
+                      insert_enable: Array = True) -> Tuple[MapState, StepOutput]:
+    """``mapper_step`` with the initial guess composed ON DEVICE from the
+    odometry motion delta: estimate = pose x delta (≙ Mapper.cpp:265-300).
+
+    This removes the only per-scan host round-trip of the per-scan driver
+    (reading the refined pose back just to multiply it by the next delta):
+    steps chain asynchronously — the host enqueues scan t+1 while scan t
+    still runs, and poses stream back lazily.  Over the axon tunnel the
+    blocking readback costs more than half the step (PROFILE.md round 3).
+    """
+    return _step(state, raw_scan, state.pose @ odom_delta, cfg, insert_enable)
+
+
+def _step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
+          cfg: PipelineConfig, insert_enable: Array):
     wide = scan_processing.preprocess_scan(
         raw_scan,
         wide_min_radius=cfg.crop_min_radius,
@@ -164,8 +190,7 @@ def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,
 
     def body(st, inp):
         scan_i, delta_i = inp
-        estimate = st.pose @ delta_i
-        st2, _ = mapper_step(st, scan_i, estimate, cfg)
+        st2, _ = _step(st, scan_i, st.pose @ delta_i, cfg, True)
         return st2, st2.pose
 
     return jax.lax.scan(body, state, (scans, odom_deltas))

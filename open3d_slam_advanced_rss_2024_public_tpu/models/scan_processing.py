@@ -68,11 +68,11 @@ def preprocess_scan(scan: PointCloud,
     scan = filters.remove_non_finite(scan)
     wide = croppers.min_max_radius_cropper(wide_min_radius, wide_max_radius)
     scan = scan.with_mask(wide.contains(scan.xyz))
-    out = filters.voxel_downsample(scan, voxel_size, capacity)
-    # Morton (Z-order) layout: keeps NN query tiles spatially tight for the
-    # tile-sparse Pallas matcher (ops/pallas_nn.py).  Order is irrelevant
-    # to every downstream reduction.
-    out = hashgrid.morton_sort(out, 0.5)
+    # Morton-ordered downsample: ONE argsort groups voxels AND leaves the
+    # output in Z-order, so the tile-sparse Pallas matcher's query tiles
+    # are spatially tight with no separate spatial sort.  Exact because
+    # the wide crop bounds the extent far below the 1024-cell Morton range.
+    out = filters.voxel_downsample(scan, voxel_size, capacity, order="morton")
     if estimate_scan_normals:
         if normal_engine in ("moments", "moments_interpret"):
             out = normals.estimate_normals_radius(

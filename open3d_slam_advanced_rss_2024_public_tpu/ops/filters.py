@@ -75,22 +75,38 @@ def _lex_sort_by_voxel(cloud: PointCloud, vkey: Array):
     return order
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def voxel_downsample(cloud: PointCloud, voxel_size, capacity: int) -> PointCloud:
+@partial(jax.jit, static_argnames=("capacity", "order"))
+def voxel_downsample(cloud: PointCloud, voxel_size, capacity: int,
+                     order: str = "lex") -> PointCloud:
     """Voxel-grid down-sampling with per-voxel averaging of position+normal.
 
     Exact (lexicographic grouping, not hashed).  Output is compacted to
     ``capacity`` valid-first; if more voxels are occupied than ``capacity``
     the overflow is dropped (callers size capacity for their map budget,
     mirroring the reference's submap point budgets Parameters.hpp:103-110).
+
+    ``order="morton"``: group AND sort by the 30-bit Morton code of the
+    voxel in ONE argsort instead of three — and the output comes out in
+    Z-order, so the tile-sparse NN kernel needs no separate spatial sort.
+    Exact only while the cloud spans < 1024 voxels per axis (102 m at
+    0.1 m cells); use on radius-cropped scans (the pipeline crops first).
     """
     n = cloud.capacity
     vkey = voxel_key(cloud.xyz, jnp.asarray(voxel_size, jnp.float32))
     # Push invalid points to a sentinel key so they sort last and group once.
     big = jnp.int32(2**30)
     vkey = jnp.where(cloud.mask[:, None], vkey, big)
-    order = _lex_sort_by_voxel(cloud, vkey)
-    sk = vkey[order]
+    if order == "morton":
+        from .hashgrid import morton_code
+
+        code = morton_code(cloud.xyz, cloud.mask, voxel_size)
+        o = jnp.argsort(code)
+        sk = jnp.where(cloud.mask[o, None], vkey[o], big)
+        order_idx = o
+    else:
+        order_idx = _lex_sort_by_voxel(cloud, vkey)
+        sk = vkey[order_idx]
+    order = order_idx
     sxyz = cloud.xyz[order]
     snrm = cloud.normals[order]
     smask = cloud.mask[order]

@@ -6,37 +6,43 @@ TPU-native equivalent of the reference's map containers:
     Voxel.hpp:19-80, src/Voxel.cpp),
   - ``VoxelHashMap`` — ``unordered_map<Vector3i, Voxel>`` with an
     OpenVDB-style spatial hash (reference VoxelHashMap.hpp:25-98),
-  - the Submap's sparse ``mapCloud_`` (reference Submap.cpp:82-96, whose
-    full-map re-voxelize per scan is flagged as suboptimal in its own
-    comment — the round-2 sort-based insert here had the same flaw:
-    3 stable argsorts + top_k over the WHOLE map every scan, 19.6 ms at
-    131k capacity on a v5e chip).
+  - the Submap's sparse ``mapCloud_`` (reference Submap.cpp:82-96).
 
-Design (round 3): a fixed-capacity open-addressed hash table in HBM.
-Slots hold the voxel key (int32[3]) plus weighted sums of position /
-normal / descriptor channels.  Insertion is O(scan x probe_rounds):
+Design (round 3, v2): a fixed-capacity open-addressed hash table in HBM
+keyed by an EXACT 30-bit packed voxel key.
 
-  1. hash each scan point's voxel key into a slot, linear probing;
-  2. resolve slot ownership concurrently with a scatter-min "claim"
-     (winner writes its key; same-key losers match it on the next round,
-     different-key losers advance their probe);
-  3. one scatter-add of the weighted contributions into the table.
+Voxel coordinates are packed relative to a per-map origin (the voxel key
+of the first insert's centroid): ``rel = key - origin + 512`` with each
+axis in [0, 1024), i.e. a 102.4 m cube at 0.1 m cells — far beyond any
+single submap's extent (the reference crops match patches at <= 30 m and
+rolls submaps long before that; Parameters.hpp:103-110).  Points outside
+the addressable cube are dropped and counted in ``dropped``.
 
-This replaces a map-sized sort per scan with ~3 gather/scatter rounds over
-the scan only (<0.5 ms) — the same asymptotics as the reference's per-point
-``unordered_map`` loop, but batched.  The accumulation is an *exact*
-weighted running mean (sums carry weights), identical to the reference's
-``AggregatedVoxel::aggregate*``.
+Because the packed key is *bijective* on the addressable cube, the table
+needs only ONE int32 per slot: the packed key itself, with INT32_MAX as
+the empty sentinel.  Insertion resolves slots with windowed probing:
 
-Deletion (space carving) uses tombstones: the slot keeps its key so linear
-probe chains never break, but its sums/weight reset to zero — a later
+  1. gather a window of 8 consecutive slots per point (one [S,8] gather);
+  2. first slot holding the point's key -> assigned (covers same-key
+     duplicates in the same round);
+  3. else claim the first EMPTY slot by scattering ``min(packed_key)``
+     into it — concurrent claimants of one slot resolve to a single
+     winner, losers advance and retry;
+  4. repeat until every point is assigned (expected 1-2 rounds at load
+     factor <= 0.5: the window covers probe displacements 0-7 at once).
+
+Cost per insert: ~2 windowed gathers + ~2 single-lane scatters over the
+SCAN (never the map) plus one fused scatter-add of the accumulator rows —
+measured ~8x faster than the round-2 per-point claim loop (PROFILE.md).
+
+Accumulation is an *exact* weighted running mean (sums carry weights),
+identical to the reference's ``AggregatedVoxel::aggregate*``; sums live in
+a single f32[C,8] accumulator (sum_xyz | sum_normal | weight | pad) so
+fusion is ONE scatter-add.
+
+Deletion (space carving) uses tombstones: the slot keeps its key so probe
+windows never miss, but its sums/weight reset to zero — a later
 observation of the same voxel re-accumulates from scratch.
-
-Capacity: when the table is full (or a probe chain exceeds the round
-budget) NEW voxels are dropped and counted in ``dropped`` — bounded growth
-is the submap rollover's job (reference point budgets Parameters.hpp:
-103-110; SubmapCollection rolls at 95% of capacity).  Size tables ~2x the
-expected voxel count to keep probe chains short.
 """
 from __future__ import annotations
 
@@ -47,14 +53,14 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pointcloud import PointCloud, SENTINEL
-from .hashgrid import voxel_key, hash_key
+from .hashgrid import voxel_key
 
 Array = jax.Array
 
-# Probe-round budget per insert.  Expected rounds at load factor <= 0.5 is
-# ~2-3; the budget only binds on pathological chains, whose points are
-# dropped and counted.
-_MAX_ROUNDS = 32
+_EMPTY = jnp.int32(0x7FFFFFFF)  # > any 30-bit packed key
+_WINDOW = 8                      # probe slots examined per round
+_MAX_ROUNDS = 16                 # round budget (binds only on full tables)
+_HALF = 512                      # packing bias: rel coords in [0, 1024)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,19 +68,33 @@ class VoxelMap:
     """Open-addressed voxel table.  ``cloud`` (the voxel-mean point cloud)
     is a derived view, computed lazily — cheap elementwise math."""
 
-    key_table: Array   # int32[C,3] voxel coords per slot (valid iff occupied)
-    occupied: Array    # bool[C] slot has a key (tombstones stay occupied)
-    sum_xyz: Array     # f32[C,3] weighted position sums
-    sum_nrm: Array     # f32[C,3] weighted normal sums
-    weight: Array      # f32[C]   accumulated weights (0 => tombstone/empty)
-    cell: Array        # f32 scalar voxel edge length (0 until first insert)
-    dropped: Array     # f32 scalar — points lost to capacity/probe overflow
+    ptable: Array   # int32[C] packed voxel key per slot (_EMPTY = free)
+    origin: Array   # int32[3] packing origin (voxel coords)
+    acc: Array      # f32[C,8] = sum_xyz[3] | sum_normal[3] | weight | pad
+    cell: Array     # f32 scalar voxel edge length (0 until first insert)
+    dropped: Array  # f32 scalar — points lost to capacity/range overflow
     sum_attrs: "Array | None" = None  # optional f32[C,A] descriptor sums
     attr_names: tuple = ()
 
     @property
     def capacity(self) -> int:
-        return self.key_table.shape[0]
+        return self.ptable.shape[-1]
+
+    @property
+    def occupied(self) -> Array:
+        return self.ptable != _EMPTY
+
+    @property
+    def sum_xyz(self) -> Array:
+        return self.acc[..., 0:3]
+
+    @property
+    def sum_nrm(self) -> Array:
+        return self.acc[..., 3:6]
+
+    @property
+    def weight(self) -> Array:
+        return self.acc[..., 6]
 
     def count(self) -> Array:
         return jnp.sum(jnp.logical_and(self.occupied, self.weight > 0.0)
@@ -100,8 +120,7 @@ class VoxelMap:
 
 jax.tree_util.register_dataclass(
     VoxelMap,
-    data_fields=("key_table", "occupied", "sum_xyz", "sum_nrm", "weight",
-                 "cell", "dropped", "sum_attrs"),
+    data_fields=("ptable", "origin", "acc", "cell", "dropped", "sum_attrs"),
     meta_fields=("attr_names",),
 )
 
@@ -113,15 +132,19 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
+@partial(jax.jit, static_argnames=("capacity", "attr_names"))
 def empty(capacity: int, attr_names: tuple = ()) -> VoxelMap:
-    """An empty table with capacity rounded up to a power of two."""
+    """An empty table with capacity rounded up to a power of two.
+
+    jitted so the table's buffers are program outputs: the axon TPU
+    backend rejects donating raw client-allocated buffers (InvalidArgument
+    at execute) and every empty map eventually flows into the donating
+    ``pipeline.mapper_step``."""
     C = _round_up_pow2(max(capacity, 2))
     return VoxelMap(
-        key_table=jnp.zeros((C, 3), jnp.int32),
-        occupied=jnp.zeros((C,), bool),
-        sum_xyz=jnp.zeros((C, 3), jnp.float32),
-        sum_nrm=jnp.zeros((C, 3), jnp.float32),
-        weight=jnp.zeros((C,), jnp.float32),
+        ptable=jnp.full((C,), _EMPTY, jnp.int32),
+        origin=jnp.zeros((3,), jnp.int32),
+        acc=jnp.zeros((C, 8), jnp.float32),
         cell=jnp.float32(0.0),
         dropped=jnp.float32(0.0),
         sum_attrs=(jnp.zeros((C, len(attr_names)), jnp.float32)
@@ -130,60 +153,90 @@ def empty(capacity: int, attr_names: tuple = ()) -> VoxelMap:
     )
 
 
-def _assign_slots(key_table: Array, occupied: Array, key: Array, mask: Array):
+def _mix32(h: Array) -> Array:
+    """murmur3 finalizer — decorrelates the spatially structured packed
+    keys before slot assignment."""
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _pack_keys(key: Array, origin: Array, ok: Array):
+    """int32[...,3] voxel coords -> (packed int32[...], in_range bool[...])."""
+    rel = key - origin + _HALF
+    in_range = jnp.logical_and(
+        ok, jnp.all(jnp.logical_and(rel >= 0, rel < 2 * _HALF), axis=-1))
+    pk = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
+    return jnp.where(in_range, pk, _EMPTY), in_range
+
+
+def _assign_slots(ptable: Array, pk: Array, ok: Array):
     """Resolve one table slot per scan point (or -1 on overflow).
 
-    Concurrent open-addressing in pure XLA: per round, each still-active
-    point probes slot (h0 + probe) & (C-1); empty slots are claimed with a
-    scatter-min of the point id (the winner writes its key), matching keys
-    assign, and different-key occupants advance the probe.  Same-key claim
-    losers re-check the SAME slot next round (the winner's key is there
-    now).  Returns (key_table', occupied', assigned int32[S]).
+    Windowed concurrent open-addressing in pure XLA: per round, each
+    still-active point gathers ``_WINDOW`` consecutive slots, takes the
+    first slot already holding its key, else scatter-min-claims the first
+    empty slot (the smallest packed key wins each contested slot; losers
+    advance past the now-taken slot).  Same-key duplicates resolve in the
+    winner's round.  Claims only ever target slots observed EMPTY this
+    round, so an occupied slot is never overwritten.
     """
-    C = key_table.shape[0]
-    S = key.shape[0]
-    h0 = hash_key(key, C)
-    pid = jnp.arange(S, dtype=jnp.int32)
+    C = ptable.shape[0]
+    h0 = (_mix32(pk) & jnp.uint32(C - 1)).astype(jnp.int32)
+    span = jnp.arange(_WINDOW, dtype=jnp.int32)
 
-    def cond(carry):
-        _, _, assigned, probe, it = carry
-        active = jnp.logical_and(assigned < 0, mask)
-        return jnp.logical_and(it < _MAX_ROUNDS, jnp.any(active))
-
-    def body(carry):
-        kt, occ, assigned, probe, it = carry
-        active = jnp.logical_and(assigned < 0, mask)
-        slot = (h0 + probe) & (C - 1)
-        s_occ = occ[slot]
-        s_key = kt[slot]
-        match = jnp.logical_and(s_occ, jnp.all(s_key == key, axis=-1))
-        want = jnp.logical_and(active, jnp.logical_not(s_occ))
-        # Claim empties: smallest point id wins each slot this round.
-        claim_idx = jnp.where(want, slot, C)
-        claim = jnp.full((C,), S, jnp.int32).at[claim_idx].min(
-            pid, mode="drop")
-        won = jnp.logical_and(want, claim[slot] == pid)
-        wslot = jnp.where(won, slot, C)
-        kt = kt.at[wslot].set(key, mode="drop")
-        occ = occ.at[wslot].set(True, mode="drop")
-        newly = jnp.logical_and(active, jnp.logical_or(match, won))
-        assigned = jnp.where(newly, slot, assigned)
-        # Advance only past occupied-with-different-key slots.
-        advance = jnp.logical_and(active,
-                                  jnp.logical_and(s_occ, jnp.logical_not(match)))
-        probe = probe + advance.astype(jnp.int32)
-        return kt, occ, assigned, probe, it + 1
-
-    # Derive the initial carry from ``mask`` so its varying-manual-axes type
+    # Derive the initial carry from ``ok`` so its varying-manual-axes type
     # matches the loop body under shard_map (the table is device-varying
     # while fresh constants would be replicated — JAX's vma typing rejects
     # that mix in a while_loop carry).
-    vma_zero = jnp.where(mask, jnp.int32(0), jnp.int32(0))
-    assigned0 = vma_zero - 1
-    probe0 = vma_zero
-    kt, occ, assigned, _, _ = jax.lax.while_loop(
-        cond, body, (key_table, occupied, assigned0, probe0, jnp.int32(0)))
-    return kt, occ, assigned
+    vz = jnp.where(ok, jnp.int32(0), jnp.int32(0))
+    assigned0 = vz - 1
+    base0 = h0 + vz
+
+    def cond(carry):
+        _, assigned, _, it = carry
+        return jnp.logical_and(it < _MAX_ROUNDS,
+                               jnp.any(jnp.logical_and(assigned < 0, ok)))
+
+    def body(carry):
+        pt, assigned, base, it = carry
+        active = jnp.logical_and(assigned < 0, ok)
+        idx = (base[:, None] + span[None, :]) & (C - 1)     # [S,W]
+        win = pt[idx]                                        # [S,W] gather
+        is_mine = win == pk[:, None]
+        is_empty = win == _EMPTY
+        any_mine = jnp.any(is_mine, axis=-1)
+        mine_j = jnp.argmax(is_mine, axis=-1)
+        any_empty = jnp.any(is_empty, axis=-1)
+        empty_j = jnp.argmax(is_empty, axis=-1)
+        lane = jnp.arange(pk.shape[0])
+        mine_slot = idx[lane, mine_j]
+        claim_slot = idx[lane, empty_j]
+        assigned = jnp.where(jnp.logical_and(active, any_mine), mine_slot,
+                             assigned)
+        want = jnp.logical_and(active,
+                               jnp.logical_and(jnp.logical_not(any_mine),
+                                               any_empty))
+        pt = pt.at[jnp.where(want, claim_slot, C)].min(pk, mode="drop")
+        got = jnp.logical_and(want, pt[claim_slot] == pk)
+        assigned = jnp.where(got, claim_slot, assigned)
+        # Advance: claim losers restart at the (now occupied) empty slot;
+        # windows with no empty and no match skip the whole window.
+        lost = jnp.logical_and(want, jnp.logical_not(got))
+        stuck = jnp.logical_and(active,
+                                jnp.logical_and(jnp.logical_not(any_mine),
+                                                jnp.logical_not(any_empty)))
+        base = jnp.where(lost, base + empty_j,
+                         jnp.where(stuck, base + _WINDOW, base))
+        return pt, assigned, base, it + 1
+
+    pt, assigned, _, _ = jax.lax.while_loop(
+        cond, body, (ptable, assigned0, base0, jnp.int32(0)))
+    return pt, assigned
 
 
 @jax.jit
@@ -196,8 +249,6 @@ def insert(vmap: VoxelMap, scan: PointCloud, voxel_size,
     running mean as positions; the channel set is adopted from the scan on
     first contact and aligned to common channels afterwards.
     """
-    from ..utils import pointcloud as pc
-
     C = vmap.capacity
     cell = jnp.asarray(voxel_size, jnp.float32)
     sum_attrs = vmap.sum_attrs
@@ -220,21 +271,27 @@ def insert(vmap: VoxelMap, scan: PointCloud, voxel_size,
     w = jnp.where(scan.mask, w, 0.0)
 
     key = voxel_key(scan.xyz, cell)
-    kt, occ, assigned = _assign_slots(vmap.key_table, vmap.occupied, key,
-                                      scan.mask)
+    # Packing origin: adopted from the first insert's valid centroid.
+    has_origin = jnp.any(vmap.occupied)
+    nv = jnp.maximum(jnp.sum(scan.mask.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(jnp.where(scan.mask[:, None], scan.xyz, 0.0),
+                       axis=0) / nv
+    origin = jnp.where(has_origin, vmap.origin,
+                       voxel_key(centroid, cell))
+    pk, ok = _pack_keys(key, origin, scan.mask)
+    pt, assigned = _assign_slots(vmap.ptable, pk, ok)
     idx = jnp.where(assigned >= 0, assigned, C)  # drop overflow
-    sum_xyz = vmap.sum_xyz.at[idx].add(scan.xyz * w[:, None], mode="drop")
-    sum_nrm = vmap.sum_nrm.at[idx].add(scan.normals * w[:, None], mode="drop")
-    weight = vmap.weight.at[idx].add(w, mode="drop")
+    contrib = jnp.concatenate(
+        [scan.xyz * w[:, None], scan.normals * w[:, None], w[:, None],
+         jnp.zeros((scan.capacity, 1), jnp.float32)], axis=-1)
+    acc = vmap.acc.at[idx].add(contrib, mode="drop")
     if sum_attrs is not None:
-        contrib = (scan_attrs * w[:, None] if scan_attrs is not None
-                   else jnp.zeros((scan.capacity, sum_attrs.shape[-1]),
-                                  jnp.float32))
-        sum_attrs = sum_attrs.at[idx].add(contrib, mode="drop")
+        a = (scan_attrs * w[:, None] if scan_attrs is not None
+             else jnp.zeros((scan.capacity, sum_attrs.shape[-1]), jnp.float32))
+        sum_attrs = sum_attrs.at[idx].add(a, mode="drop")
     n_dropped = jnp.sum(jnp.logical_and(scan.mask, assigned < 0)
                         .astype(jnp.float32))
-    return VoxelMap(key_table=kt, occupied=occ, sum_xyz=sum_xyz,
-                    sum_nrm=sum_nrm, weight=weight, cell=cell,
+    return VoxelMap(ptable=pt, origin=origin, acc=acc, cell=cell,
                     dropped=vmap.dropped + n_dropped,
                     sum_attrs=sum_attrs, attr_names=attr_names)
 
@@ -246,11 +303,9 @@ def from_cloud(template: VoxelMap, cloud: PointCloud, weights: Array,
     weighted point set — used after rigid transforms, which invalidate every
     stored voxel key."""
     fresh = VoxelMap(
-        key_table=jnp.zeros_like(template.key_table),
-        occupied=jnp.zeros_like(template.occupied),
-        sum_xyz=jnp.zeros_like(template.sum_xyz),
-        sum_nrm=jnp.zeros_like(template.sum_nrm),
-        weight=jnp.zeros_like(template.weight),
+        ptable=jnp.full_like(template.ptable, _EMPTY),
+        origin=jnp.zeros_like(template.origin),
+        acc=jnp.zeros_like(template.acc),
         cell=cell,
         dropped=jnp.float32(0.0),
         sum_attrs=None if template.sum_attrs is None
@@ -266,7 +321,8 @@ def transform(vmap: VoxelMap, T: Array) -> VoxelMap:
     reference Submap::transform, Submap.cpp:115-128).  Voxel keys change
     under the motion, so the table is rebuilt by re-inserting the
     transformed voxel means with their accumulated weights (rare event:
-    pose-graph feedback only)."""
+    pose-graph feedback only).  The packing origin re-derives from the
+    moved cloud."""
     moved = vmap.cloud.transform(jnp.asarray(T, jnp.float32))
     # Guard the empty map (cell 0 would collapse every key to one voxel).
     cell = jnp.where(vmap.cell > 0, vmap.cell, jnp.float32(1.0))
@@ -283,7 +339,7 @@ def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_si
     Fixed-shape formulation: sample ``steps`` points along every valid ray
     between the sensor and (hit distance - truncation); build a hash-grid
     occupancy of the sampled free-space voxels; tombstone map slots whose
-    mean falls in a flagged voxel (key kept — probe chains stay intact —
+    mean falls in a flagged voxel (key kept — probe windows stay intact —
     sums zeroed so the voxel re-accumulates if re-observed).
     """
     from . import hashgrid
@@ -312,9 +368,7 @@ def carve(vmap: VoxelMap, scan: PointCloud, sensor_origin: Array, carve_voxel_si
     keep = jnp.logical_not(carved)[:, None]
     return dataclasses.replace(
         vmap,
-        sum_xyz=jnp.where(keep, vmap.sum_xyz, 0.0),
-        sum_nrm=jnp.where(keep, vmap.sum_nrm, 0.0),
-        weight=jnp.where(keep[:, 0], vmap.weight, 0.0),
+        acc=jnp.where(keep, vmap.acc, 0.0),
         sum_attrs=None if vmap.sum_attrs is None
         else jnp.where(keep, vmap.sum_attrs, 0.0),
     )
