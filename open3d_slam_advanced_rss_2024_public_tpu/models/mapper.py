@@ -9,24 +9,34 @@ TPU-native equivalent of the reference Mapper
   - min-motion gating before insertion (Mapper.cpp:483-489),
   - map-merge suppression in localization mode (Mapper.cpp:466-479).
 
-Host/device split (round 3 — one hot path): all device work for a scan is
-the single fused program ``pipeline.mapper_step`` (preprocess -> map-patch
-crop + matcher index -> while-loop ICP -> fitness gate -> voxel fusion into
-the ACTIVE submap's table), exactly the program bench.py measures.  The
-host keeps time bookkeeping, buffers, the merge-suppression flag (fed to
-the device as a traced scalar), and the submap lifecycle
-(SubmapCollection.post_insert_update).  The reference's periodic
-reference-cloud re-init (Mapper.cpp:349-380) is subsumed: the fused step
-re-crops the map patch around the pose estimate every scan — strictly
-fresher than the reference's up-to-period-stale kd-tree, at ~1.7 ms on
-chip (PROFILE.md).
+Host/device split (round 4 — the async fast path): all device work for a
+scan is the single fused program ``pipeline.mapper_step_delta`` (preprocess
+-> map-patch crop + matcher index -> while-loop ICP -> fitness gate ->
+voxel fusion into the ACTIVE submap's table), with the initial guess
+composed ON DEVICE from the odometry motion delta, so consecutive scans
+chain with ZERO blocking host round-trips.  Refined poses, fitness, and
+insertion flags stream back in lag-K blocks (one batched ``device_get``
+every ``pose_readback_lag`` scans); host bookkeeping — trajectory buffers,
+submap rollover, carving — runs on the lagged readbacks.  This is exactly
+the driver bench.py measures: the shipped ``add_range_measurement`` and
+the benchmark headline are the same code path.
+
+State ownership invariant: while ``self._state`` is set, the live map is
+the device-side chained state and the active submap's ``map`` attribute
+may be up to one flush stale (always valid — the steps never donate);
+``materialize()`` flushes pending steps and hands truth back to the
+submap before any external read/mutation (assembled map, loop-closure
+feedback, saving).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import threading
+from collections import deque
+from typing import Deque, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.registration import ICPConfig
@@ -92,6 +102,59 @@ class MapperStats:
     scans_rejected_low_fitness: int = 0
     out_of_order: int = 0
     insertions: int = 0
+    # Voxels silently dropped by the fixed-capacity table (ADVICE r3:
+    # surface truncation to the host).  Updated at every flush.
+    map_voxels_dropped: int = 0
+
+
+@dataclasses.dataclass
+class _QueuedScan:
+    """One scan accepted but not yet dispatched (host-side block builder)."""
+
+    time: float
+    scan: PointCloud        # the (motion-compensated) input scan
+    motion: np.ndarray      # odometry delta fed as the on-device guess
+    insert_enable: bool
+
+
+@dataclasses.dataclass
+class _InflightBlock:
+    """One dispatched lag-K block awaiting its readback."""
+
+    items: List[_QueuedScan]            # the real scans (padding excluded)
+    outs: pipeline.StepOutput           # stacked [K, ...] device outputs
+
+
+@dataclasses.dataclass
+class Finalized:
+    """One scan's host-visible result, produced at flush time.  Consumers
+    (SlamWrapper's trajectory log and dense-map worker) drain these in
+    order.  ``merged`` is the preprocessed scan already in map frame — a
+    zero-arg thunk (slicing the stacked block output enqueues device ops,
+    so it resolves lazily) or None for scans that never ran the device
+    step (out-of-order / external-pose paths)."""
+
+    time: float
+    pose: np.ndarray
+    merged: object  # Optional[Callable[[], PointCloud]]
+    raw: Optional[PointCloud]
+    fitness: float = 1.0
+    inserted: bool = False
+
+
+def _make_pad_scan(template: PointCloud) -> PointCloud:
+    """An all-invalid scan with the template's shapes, used to pad partial
+    lag blocks: zero valid points match nothing, the fitness gate keeps the
+    pose, and insertion is disabled for pad slots."""
+    from ..utils.pointcloud import SENTINEL
+
+    return PointCloud(
+        xyz=jnp.full_like(template.xyz, SENTINEL),
+        normals=jnp.zeros_like(template.normals),
+        mask=jnp.zeros_like(template.mask),
+        attrs=(None if template.attrs is None
+               else jnp.zeros_like(template.attrs)),
+        attr_names=template.attr_names)
 
 
 class Mapper:
@@ -102,6 +165,7 @@ class Mapper:
         self.params = params
         self.icp_cfg = icp_config_from_params(params)
         self.pipe_cfg = pipeline_config_from_params(params)
+        self._validate_map_extent(params)
         self.submaps = SubmapCollection(params.mapper)
         self.odom_buffer = odom_buffer if odom_buffer is not None else TransformInterpolationBuffer()
         self.map_to_range_sensor = np.eye(4, dtype=np.float32)
@@ -116,48 +180,260 @@ class Mapper:
         self.is_use_initial_map = params.mapper.mapper_localizer.is_use_map_initialization
         self.is_merge_scans_into_map = params.mapper.mapper_localizer.is_merge_scans_into_map
         self.init_time: Optional[float] = None
+        # Async fast path: chained device state, a host-side queue of scans
+        # building the next block, and dispatched blocks awaiting readback
+        # (see module docstring invariant).
+        self._state: Optional[pipeline.MapState] = None
+        self._queue: List[_QueuedScan] = []
+        self._inflight: Deque[_InflightBlock] = deque()
+        self.readback_lag = max(
+            int(params.mapper.mapper_localizer.pose_readback_lag), 1)
+        # Template empty scan used to pad partial blocks (built lazily from
+        # the first scan's shapes).
+        self._pad_scan: Optional[PointCloud] = None
+        # Per-scan results in flush order, drained by the runtime (bounded:
+        # an undrained consumer must not pin merged clouds forever).
+        self.finalized: Deque[Finalized] = deque(maxlen=4096)
+        # One lock serializes state/pending mutation: the map worker steps
+        # while finish/save/loop-closure threads flush or materialize.
+        self._lock = threading.RLock()
+
+    @staticmethod
+    def _validate_map_extent(params: SlamParameters) -> None:
+        """ADVICE r3: the voxel table addresses a ±512-cell cube around the
+        first insert's centroid (ops/voxel_map.py packing).  A config whose
+        crop radius alone exceeds that half-extent truncates every scan —
+        reject it; a config whose rollover distance plus crop radius
+        exceeds it can truncate late in a submap's life — warn, and the
+        per-flush ``stats.map_voxels_dropped`` counter makes any actual
+        truncation observable."""
+        import warnings
+
+        from ..ops import voxel_map as vm
+
+        ml = params.mapper.mapper_localizer
+        crop = ml.scan_to_map_registration.scan_processing.scan_cropping
+        half = vm._HALF * params.mapper.map_builder.map_voxel_size
+        if crop.cropping_radius_max > half:
+            raise ValueError(
+                f"scan crop radius {crop.cropping_radius_max} m exceeds the "
+                f"voxel table's addressable half-extent "
+                f"{half:.1f} m (= 512 x map_voxel_size "
+                f"{params.mapper.map_builder.map_voxel_size}); in-view points "
+                f"would silently vanish — raise map_voxel_size or shrink the "
+                f"crop")
+        reach = crop.cropping_radius_max + params.mapper.submaps.submap_size
+        if reach > half:
+            warnings.warn(
+                f"submap_size + crop radius = {reach:.1f} m exceeds the voxel "
+                f"table's addressable half-extent {half:.1f} m; scans near a "
+                f"submap's rollover boundary may truncate (watch "
+                f"MapperStats.map_voxels_dropped)", stacklevel=3)
 
     # -- external pose interface (≙ setMapToRangeSensor / loopClosureUpdate) --
 
     def set_map_to_range_sensor(self, T: np.ndarray) -> None:
-        self.map_to_range_sensor = np.asarray(T, dtype=np.float32).copy()
-        self.is_new_value_set = True
+        with self._lock:
+            self.flush()
+            self.map_to_range_sensor = np.asarray(T, dtype=np.float32).copy()
+            self.is_new_value_set = True
 
     def loop_closure_update(self, correction: np.ndarray) -> None:
         """≙ Mapper::loopClosureUpdate (Mapper.cpp:92-95): apply the pose-
         graph correction to the current and previous refined pose."""
-        c = np.asarray(correction, dtype=np.float32)
-        self.map_to_range_sensor = c @ self.map_to_range_sensor
-        self.map_to_range_sensor_prev = c @ self.map_to_range_sensor_prev
-        self.last_insertion_pose = c @ self.last_insertion_pose
+        with self._lock:
+            self.materialize()
+            c = np.asarray(correction, dtype=np.float32)
+            self.map_to_range_sensor = c @ self.map_to_range_sensor
+            self.map_to_range_sensor_prev = c @ self.map_to_range_sensor_prev
+            self.last_insertion_pose = c @ self.last_insertion_pose
+
+    # -- async state management ----------------------------------------------
+
+    def _ensure_state(self) -> None:
+        if self._state is None:
+            sm = self.submaps.active_submap
+            self._state = pipeline.make_state(
+                sm.map, self.map_to_range_sensor, self.last_insertion_pose)
+
+    def materialize(self) -> None:
+        """Flush in-flight steps and hand map ownership back to the active
+        submap.  Call before any external read of the active submap's table
+        (assembled map, saving) or mutation of pose/map state (loop-closure
+        feedback).  The next scan rebuilds the chained state (one extra
+        non-donating dispatch)."""
+        with self._lock:
+            self.flush()
+            if self._state is not None:
+                self.submaps.active_submap.map = self._state.map
+                self._state = None
+
+    def _dispatch_block(self) -> None:
+        """Stack the queued scans into ONE lag-K block program and start
+        async host copies of the small readback leaves.
+
+        Block sizes are 1 (idle / single-scan path) or ``readback_lag``
+        (saturated path; partial blocks pad with empty scans that pass
+        through the fused step harmlessly) — exactly two compiled
+        variants."""
+        items = self._queue
+        if not items:
+            return
+        self._queue = []
+        K = self.readback_lag
+        n = len(items)
+        scans = [q.scan for q in items]
+        motions = [q.motion for q in items]
+        ens = [q.insert_enable for q in items]
+        if 1 < n < K:
+            if self._pad_scan is None:
+                self._pad_scan = _make_pad_scan(items[0].scan)
+            scans += [self._pad_scan] * (K - n)
+            motions += [np.eye(4, dtype=np.float32)] * (K - n)
+            ens += [False] * (K - n)
+        sb = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+        db = jnp.asarray(np.stack(motions).astype(np.float32))
+        eb = jnp.asarray(np.asarray(ens, dtype=bool))
+        self._ensure_state()
+        self._state, outs = pipeline.mapper_step_block(
+            self._state, sb, db, eb, self.pipe_cfg)
+        # Pre-issue the host copies: by the time this block is processed
+        # (one block behind), the transfer has ridden the tunnel already.
+        for leaf in (outs.pose, outs.res.match_ratio, outs.inserted,
+                     outs.map_count, outs.dropped):
+            leaf.copy_to_host_async()
+        self._inflight.append(_InflightBlock(items=items, outs=outs))
+
+    def _process_ready(self, keep: int) -> None:
+        """Process dispatched blocks, keeping up to ``keep`` in flight (a
+        kept block's readback overlaps the next block's execution).  A
+        rollover forces draining the whole chain (see _process_block)."""
+        rolled = False
+        while len(self._inflight) > keep or (rolled and self._inflight):
+            rolled = self._process_block(self._inflight.popleft(), rolled)
+        if rolled:
+            # The fresh active submap was host-assembled (overlap replay /
+            # stale-tail inserts); rebuild the chained state from it.  The
+            # closed submap keeps the chain-end table.
+            self._state = pipeline.make_state(
+                self.submaps.active_submap.map, self.map_to_range_sensor,
+                self.last_insertion_pose)
+
+    def _process_block(self, blk: _InflightBlock, rolled: bool) -> bool:
+        """Host bookkeeping for one dispatched block: pose/trajectory
+        buffers, fitness stats, submap rollover, carving.  Returns the
+        updated ``rolled`` flag (True once any record triggered a submap
+        rollover — every later record's device fusion landed in the closed
+        submap's table, so those are host-inserted into the fresh one)."""
+        vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
+                               blk.outs.inserted, blk.outs.map_count,
+                               blk.outs.dropped))
+        poses, matches, inserteds, mcounts, droppeds = (np.asarray(v) for v in vals)
+        ml = self.params.mapper.mapper_localizer
+        sc = self.submaps
+        dropped_before = self.stats.map_voxels_dropped
+        for k, q in enumerate(blk.items):
+            pose = poses[k].astype(np.float32)
+            best_guess = (self.map_to_range_sensor_prev @ q.motion).astype(
+                np.float32)
+            self.map_to_range_sensor = pose
+            self.map_to_range_sensor_prev = pose.copy()
+            self.map_to_range_sensor_buffer.push(q.time, pose)
+            self.best_guess_buffer.push(q.time, best_guess)
+            fitness = float(matches[k])
+            if (not ml.ignore_minimum_refinement_fitness
+                    and fitness < ml.scan_to_map_registration.min_refinement_fitness):
+                # The device program already fell back to the odometry
+                # estimate (fitness gate inside the step); count it here.
+                self.stats.scans_rejected_low_fitness += 1
+            self.stats.map_voxels_dropped = int(droppeds[k])
+            # Lazy per-scan view of the stacked merged cloud: slicing
+            # enqueues device ops, so consumers (overlap replay, carving,
+            # dense map) resolve it only when actually needed.
+            merged_thunk = (lambda o=blk.outs.merged, kk=k:
+                            jax.tree.map(lambda x: x[kk], o))
+            if bool(inserteds[k]):
+                if not rolled:
+                    # Hand the live chain-end table to the submap so
+                    # rollover/carving see it (no donation -> the alias
+                    # stays valid indefinitely).
+                    sc.active_submap.map = self._state.map
+                    changed = sc.post_insert_update(
+                        merged_thunk, pose, q.time,
+                        active_count=int(mcounts[k]))
+                    if changed:
+                        rolled = True
+                    elif sc.active_submap.map is not self._state.map:
+                        # Carving replaced the table: adopt it as the new
+                        # chained state (carve ran on the chain-end table,
+                        # so nothing dispatched is lost).
+                        self._state = pipeline.MapState(
+                            map=sc.active_submap.map,
+                            pose=self._state.pose,
+                            last_insertion_pose=self._state.last_insertion_pose)
+                else:
+                    # Records behind a rollover: device fusion landed in
+                    # the CLOSED submap (kept — same spirit as the
+                    # reference's scan-overlap); host-insert them into the
+                    # fresh active submap.
+                    sc.insert_scan(merged_thunk, pose, q.time)
+                self.last_insertion_pose = pose.copy()
+                self.stats.insertions += 1
+            self.finalized.append(Finalized(
+                time=q.time, pose=pose, merged=merged_thunk, raw=q.scan,
+                fitness=fitness, inserted=bool(inserteds[k])))
+        mb = self.params.mapper.map_builder
+        if (int(droppeds[-1]) > dropped_before
+                and mb.is_overflow_eviction_enabled and not rolled):
+            # Overflow policy: this block dropped voxels — evict the
+            # lowest-weight fraction of the chain-end table so subsequent
+            # scans land (ops/voxel_map.evict_low_weight; the PRIMARY
+            # capacity bound stays the submap point-budget rollover).
+            from ..ops import voxel_map as vm
+
+            self._state = pipeline.MapState(
+                map=vm.evict_low_weight(
+                    self._state.map,
+                    keep_fraction=mb.overflow_evict_keep_fraction),
+                pose=self._state.pose,
+                last_insertion_pose=self._state.last_insertion_pose)
+        return rolled
+
+    def flush(self) -> None:
+        """Dispatch any partial block and run the host bookkeeping for
+        every in-flight block (trajectory buffers, fitness stats, submap
+        rollover, carving)."""
+        with self._lock:
+            self._dispatch_block()
+            self._process_ready(keep=0)
+
+    def drain_finalized(self) -> List[Finalized]:
+        with self._lock:
+            out = list(self.finalized)
+            self.finalized.clear()
+        return out
 
     # -- the hot path --------------------------------------------------------
 
-    def _fused_step(self, raw_scan: PointCloud, estimate: np.ndarray,
-                    insert_enable: bool):
-        """Run the single fused device program against the active submap."""
-        sm = self.submaps.active_submap
-        state = pipeline.MapState(
-            map=sm.map,
-            pose=jnp.asarray(self.map_to_range_sensor),
-            last_insertion_pose=jnp.asarray(self.last_insertion_pose),
-        )
-        new_state, out = pipeline.mapper_step(
-            state, raw_scan, jnp.asarray(estimate, jnp.float32), self.pipe_cfg,
-            insert_enable)
-        sm.map = new_state.map
-        return new_state, out
-
     def add_range_measurement(self, raw_scan: PointCloud, time: float) -> bool:
-        """≙ Mapper::addRangeMeasurement (Mapper.cpp:168-505)."""
+        """≙ Mapper::addRangeMeasurement (Mapper.cpp:168-505).
+
+        Async driver: enqueues one fused device step and returns without
+        blocking; host bookkeeping runs on lag-block readbacks (flush)."""
+        with self._lock:
+            return self._add_range_measurement(raw_scan, time)
+
+    def _add_range_measurement(self, raw_scan: PointCloud, time: float) -> bool:
         ml = self.params.mapper.mapper_localizer
 
         # First scan: insert directly at the current pose (the fused step's
-        # empty-map branch trusts the estimate).
+        # empty-map branch trusts the estimate).  Synchronous.
         if self.submaps.empty() or self.submaps.active_submap.is_empty():
             self.submaps.ensure_active(self.map_to_range_sensor, time)
-            self._fused_step(raw_scan, self.map_to_range_sensor,
-                             insert_enable=True)
+            self._ensure_state()
+            self._state, out = pipeline.mapper_step(
+                self._state, raw_scan, jnp.asarray(self.map_to_range_sensor),
+                self.pipe_cfg, True)
             self.submaps.note_fused_insert()
             self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
             self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
@@ -168,10 +444,14 @@ class Mapper:
             self.is_new_value_set = False
             self.stats.scans_processed += 1
             self.stats.insertions += 1
+            self.finalized.append(Finalized(
+                time=time, pose=self.map_to_range_sensor.copy(),
+                merged=(lambda o=out.merged: o), raw=raw_scan, inserted=True))
             return True
 
         # Out-of-order: propagate by last odometry motion (Mapper.cpp:196-235).
         if self.last_measurement_time is not None and time <= self.last_measurement_time:
+            self.flush()
             self.stats.out_of_order += 1
             if len(self.odom_buffer) >= 2:
                 t_latest = self.odom_buffer.latest_time()
@@ -181,27 +461,39 @@ class Mapper:
                 self.map_to_range_sensor_buffer.push(t_latest, self.map_to_range_sensor)
                 self.best_guess_buffer.push(t_latest, self.map_to_range_sensor_prev)
                 self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
+            self.finalized.append(Finalized(
+                time=time, pose=self.map_to_range_sensor.copy(),
+                merged=None, raw=raw_scan))
             return True
 
-        # Initial guess: previous refined pose x odometry delta (:265-300).
-        estimate = self.map_to_range_sensor_prev.copy()
+        # Odometry motion delta for the on-device initial guess (:265-300):
+        # estimate = state.pose x motion, composed inside the fused step.
+        motion = np.eye(4, dtype=np.float32)
         if not self.odom_buffer.empty and not self.is_new_value_set:
             calib_inv = np.linalg.inv(self.calibration)
             odom_now = self.odom_buffer.get_transform(time) @ calib_inv
             odom_prev = self.odom_buffer.get_transform(
                 self.last_measurement_time if self.last_measurement_time is not None else time
             ) @ calib_inv
-            motion = np.linalg.inv(odom_prev) @ odom_now
-            estimate = (self.map_to_range_sensor_prev @ motion).astype(np.float32)
+            motion = (np.linalg.inv(odom_prev) @ odom_now).astype(np.float32)
 
         if self.is_new_value_set:
-            # External pose was just set; trust it, skip refinement.
+            # External pose was just set; trust it, skip refinement.  The
+            # pending block was flushed by set_map_to_range_sensor; replace
+            # the chained pose without touching the table.
+            if self._state is not None:
+                self._state = pipeline.make_state(
+                    self._state.map, self.map_to_range_sensor,
+                    self.last_insertion_pose)
             self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
             self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
-            self.best_guess_buffer.push(time, estimate)
+            self.best_guess_buffer.push(time, self.map_to_range_sensor)
             self.is_new_value_set = False
             self.init_time = time
             self.last_measurement_time = time
+            self.finalized.append(Finalized(
+                time=time, pose=self.map_to_range_sensor.copy(),
+                merged=None, raw=raw_scan))
             return True
 
         # Localization mode: suppress merging (Mapper.cpp:466-479).  Host
@@ -213,39 +505,22 @@ class Mapper:
                 and (time - self.init_time) < ml.map_merge_delay_in_seconds)
         )
 
-        new_state, out = self._fused_step(raw_scan, estimate,
-                                          insert_enable=not merge_suppressed)
-        # One host sync per scan (inherent: scan t+1's guess composes on
-        # scan t's refined pose — SURVEY §7 hard parts).
-        corrected = np.asarray(new_state.pose)
-        fitness = float(out.res.match_ratio)
-        inserted = bool(out.inserted)
-
-        if (not ml.ignore_minimum_refinement_fitness
-                and fitness < ml.scan_to_map_registration.min_refinement_fitness):
-            # The device program already fell back to the odometry estimate
-            # (fitness gate inside mapper_step); count it here.
-            self.stats.scans_rejected_low_fitness += 1
-
-        self.map_to_range_sensor = corrected.astype(np.float32)
-        self.map_to_range_sensor_buffer.push(time, self.map_to_range_sensor)
-        self.best_guess_buffer.push(time, estimate)
-
-        if inserted:
-            self.submaps.post_insert_update(out.merged, self.map_to_range_sensor,
-                                            time)
-            self.last_insertion_pose = self.map_to_range_sensor.copy()
-            self.stats.insertions += 1
-
+        self._queue.append(_QueuedScan(time=time, scan=raw_scan, motion=motion,
+                                       insert_enable=not merge_suppressed))
         self.last_measurement_time = time
-        self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
         self.stats.scans_processed += 1
+        if len(self._queue) >= self.readback_lag:
+            self._dispatch_block()
+            # Keep one block in flight: its pre-issued readback lands while
+            # the next block executes.
+            self._process_ready(keep=1)
         return True
 
     def get_assembled_map(self) -> PointCloud:
         """≙ getAssembledMapPointCloud (Mapper.cpp:506-538)."""
         from ..utils.pointcloud import concatenate, empty_cloud
 
+        self.materialize()
         clouds = [s.map.cloud for s in self.submaps.submaps]
         if not clouds:
             return empty_cloud(1)

@@ -81,26 +81,55 @@ class StepOutput:
     """Device-side extras of one fused step, consumed by the host Mapper:
     the ICP result, the preprocessed merge cloud in map frame (overlap
     buffer / dense map / carving inputs), and whether the min-motion gate
-    admitted the insertion."""
+    admitted the insertion.
+
+    ``pose`` and ``map_count`` duplicate fields derivable from the returned
+    MapState on purpose: the state is DONATED into the next chained step
+    (async lag-K driver, models/mapper.py), so the host must hold its
+    per-scan readback targets in buffers that are never donated.  They cost
+    20 bytes per scan and let a whole lag block read back in one
+    ``jax.device_get``."""
 
     res: ICPResult
     merged: PointCloud
-    inserted: Array  # bool scalar
+    inserted: Array   # bool scalar
+    pose: Array       # f32[4,4] — the gated refined pose (== new state.pose)
+    map_count: Array  # i32 scalar — occupied voxels AFTER this insertion
+    dropped: Array    # f32 scalar — cumulative table-overflow drop counter
 
 
 @partial(jax.jit, static_argnames=("map_capacity",))
 def init_state(map_capacity: int, init_pose: Optional[Array] = None) -> MapState:
-    # jitted so the state's buffers are PROGRAM OUTPUTS: donating raw
-    # client-allocated buffers into mapper_step_delta trips an
-    # InvalidArgument in the axon TPU backend (observed round 3); compiled
-    # outputs donate cleanly.
+    # jitted so the state's buffers materialize on device as program
+    # outputs (host eye/zeros land once, not per step).
     T = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.asarray(
         init_pose, jnp.float32)
     return MapState(map=voxel_map.empty(map_capacity), pose=T,
                     last_insertion_pose=T)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@jax.jit
+def make_state(vmap, pose: Array, last_insertion_pose: Array) -> MapState:
+    """Rebuild a chained device state from host truth (submap table + host
+    poses) after an external mutation — loop-closure feedback, submap
+    rollover, or a materialize().  Jitted so host-resident poses land on
+    device once and the state's leaves are program outputs."""
+    return MapState(map=vmap, pose=jnp.asarray(pose, jnp.float32),
+                    last_insertion_pose=jnp.asarray(last_insertion_pose,
+                                                    jnp.float32))
+
+
+# NOTE on donation: the steps deliberately do NOT donate ``state``.  On the
+# axon TPU backend donation of a chained state is catastrophically slow
+# (measured round 4: 147 ms/step donated vs 20.6 ms/step undonated for the
+# identical program — the runtime appears to serialize the chain on the
+# donated buffer).  Undonated, the table costs one extra HBM copy per step
+# (~6 MB at 2^17 slots, ~15 us at HBM bandwidth) and old states free as
+# soon as the host drops them, so peak memory is two tables.  It also makes
+# every host-held alias of a previous state's table permanently valid —
+# no invalidated-buffer hazards anywhere in the Mapper's flush/materialize
+# bookkeeping.
+@partial(jax.jit, static_argnames=("cfg",))
 def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
                 cfg: PipelineConfig,
                 insert_enable: Array = True) -> Tuple[MapState, StepOutput]:
@@ -113,7 +142,7 @@ def mapper_step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
     return _step(state, raw_scan, estimate_T, cfg, insert_enable)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg",))
 def mapper_step_delta(state: MapState, raw_scan: PointCloud, odom_delta: Array,
                       cfg: PipelineConfig,
                       insert_enable: Array = True) -> Tuple[MapState, StepOutput]:
@@ -173,7 +202,37 @@ def _step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
         pose=T,
         last_insertion_pose=jnp.where(insert_ok, T, state.last_insertion_pose),
     )
-    return new_state, StepOutput(res=res, merged=merged, inserted=insert_ok)
+    return new_state, StepOutput(res=res, merged=merged, inserted=insert_ok,
+                                 pose=T, map_count=new_map.count(),
+                                 dropped=new_map.dropped)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapper_step_block(state: MapState, scans: PointCloud, odom_deltas: Array,
+                      insert_enables: Array,
+                      cfg: PipelineConfig) -> Tuple[MapState, StepOutput]:
+    """K chained scans as ONE device program (``lax.scan`` over the fused
+    step), returning per-scan outputs stacked on a leading axis.
+
+    This is the Mapper's dispatch unit under back-pressure: over the axon
+    tunnel every separately-dispatched program pays ~7 ms of inter-program
+    gap when chained (measured round 4: 20.6 ms/step chained vs 13.1 ms
+    isolated for the identical program), so the lag-K block amortizes that
+    gap K-fold.  Padded slots (empty scans, identity deltas,
+    insert_enable=False) pass through harmlessly: zero valid points match
+    nothing, the fitness gate keeps the estimate, the pose chain is
+    unchanged, and insertion is disabled.
+
+    scans: stacked pytree [K, ...]; odom_deltas f32[K,4,4];
+    insert_enables bool[K].
+    """
+
+    def body(st, inp):
+        scan_i, delta_i, en_i = inp
+        st2, out = _step(st, scan_i, st.pose @ delta_i, cfg, en_i)
+        return st2, out
+
+    return jax.lax.scan(body, state, (scans, odom_deltas, insert_enables))
 
 
 def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,

@@ -71,6 +71,7 @@ class SlamWrapper:
         self._stop = threading.Event()
         self._lc_lock = threading.Lock()
         self._feature_lock = threading.Lock()  # serialize feature passes
+        self._traj_lock = threading.Lock()  # atomic drain+append ordering
         self.loop_closure_count = 0
         self.optimized_graph_available = False
         self._pending_increments = None
@@ -139,16 +140,40 @@ class SlamWrapper:
             self.mapper.odom_buffer.push(time, self.odometry.odom_to_range_sensor)
         scan = self._motion_compensate(scan)
         ok = self.mapper.add_range_measurement(scan, time)
-        self.trajectory_times.append(time)
-        self.trajectory_poses.append(self.mapper.map_to_range_sensor.copy())
-        if self.params.mapper.mapper_localizer.is_build_dense_map:
-            self.mapper.submaps.insert_dense(
-                scan.transform(jnp.asarray(self.mapper.map_to_range_sensor)))
+        # Offline mode is the reference's synchronous single-stepper
+        # (SlamWrapper.cpp:588-905): flush the lag block every scan so the
+        # pose/trajectory reflect THIS scan deterministically.
+        self.mapper.flush()
+        self._consume_finalized(dense_inline=True)
         self.compute_features_if_ready()
         if self.params.mapper.mapper_localizer.is_attempt_loop_closures:
             self.attempt_loop_closures_if_ready()
         self.check_if_optimized_graph_available()
         return ok
+
+    def _consume_finalized(self, dense_inline: bool = False) -> int:
+        """Drain the mapper's flushed per-scan records (async lag blocks)
+        into the trajectory log and the dense-map feed, preserving order."""
+        build_dense = self.params.mapper.mapper_localizer.is_build_dense_map
+        with self._traj_lock:
+            recs = self.mapper.drain_finalized()
+            for rec in recs:
+                self.trajectory_times.append(rec.time)
+                self.trajectory_poses.append(
+                    np.asarray(rec.pose, dtype=np.float32).copy())
+                if build_dense and rec.raw is not None:
+                    if dense_inline:
+                        self.mapper.submaps.insert_dense(
+                            rec.raw.transform(jnp.asarray(rec.pose)))
+                    else:
+                        try:
+                            # Registered scan + refined pose; the dense
+                            # worker fuses off the critical path
+                            # (≙ registeredCloudBuffer_, SlamWrapper.cpp:691).
+                            self.dense_queue.put_nowait((rec.raw, rec.pose.copy()))
+                        except queue.Full:
+                            pass  # bounded buffer: drop, like the reference
+        return len(recs)
 
     # ----------------------------------------------------- background stages
 
@@ -227,6 +252,9 @@ class SlamWrapper:
         self._pending_increments = None
         self.optimized_graph_available = False
         sc = self.mapper.submaps
+        # Submap transforms mutate the active table: hand truth back from
+        # the chained device state first.
+        self.mapper.materialize()
         sc.apply_transforms(incs)
         # Correct the live pose by the active submap's increment.
         active_id = sc.active_submap.submap_id
@@ -274,18 +302,14 @@ class SlamWrapper:
                 except queue.Empty:
                     continue
                 scan = self._motion_compensate(item.scan)
-                ok = self.mapper.add_range_measurement(scan, item.time)
-                self.trajectory_times.append(item.time)
-                self.trajectory_poses.append(self.mapper.map_to_range_sensor.copy())
-                if ok and self.params.mapper.mapper_localizer.is_build_dense_map:
-                    try:
-                        # Registered scan + its refined pose; the dense worker
-                        # fuses off the critical path (≙ registeredCloudBuffer_
-                        # push, SlamWrapper.cpp:691).
-                        self.dense_queue.put_nowait(
-                            (scan, self.mapper.map_to_range_sensor.copy()))
-                    except queue.Full:
-                        pass  # bounded buffer: drop, like the reference
+                self.mapper.add_range_measurement(scan, item.time)
+                # Readback-lag policy: blocks amortize the host round-trip
+                # only under back-pressure.  When no scan is waiting, flush
+                # now so the online pose latency stays one scan, not K.
+                if self.mapping_queue.empty():
+                    self.mapper.flush()
+                # Drain whatever flushed (possibly nothing this scan).
+                self._consume_finalized()
                 # Feature computation happens on the feature worker (async,
                 # ≙ SlamWrapper.cpp:1039-1047 std::async) — the map worker
                 # only applies finished pose-graph results.
@@ -364,10 +388,15 @@ class SlamWrapper:
         while _time.time() < deadline:
             drained = (self.odometry_queue.empty() and self.mapping_queue.empty()
                        and self.dense_queue.empty())
+            if drained:
+                # Flush the trailing (partial) lag block and drain it.
+                self.mapper.flush()
+                self._consume_finalized(dense_inline=not self._workers)
             if drained and (not self._workers
                             or len(self.trajectory_poses) >= self._scans_accepted):
                 break
             _time.sleep(0.05)
+        self.mapper.materialize()
         sc = self.mapper.submaps
         if sc.submaps and sc.active_submap.n_scans > 0 and len(sc.submaps) >= 1:
             # Force-finish the active submap so it gets features too.
@@ -388,6 +417,7 @@ class SlamWrapper:
 
     def save_submaps(self, directory: str, dense: bool = False) -> str:
         """≙ saveSubmaps service + SubmapCollection dump (:561-582)."""
+        self.mapper.materialize()
         os.makedirs(directory, exist_ok=True)
         for i, sm in enumerate(self.mapper.submaps.submaps):
             io_utils.save_pcd(os.path.join(directory, f"submap_{i}.pcd"), sm.map.cloud)

@@ -79,16 +79,36 @@ class Submap:
     feature_cloud: Optional[PointCloud] = None
     features: Optional[jnp.ndarray] = None  # [M, 33] FPFH
     n_scans: int = 0
+    # Map-cloud centroid, computed ONCE when the submap is finished
+    # (≙ computeSubmapCenter, Submap.cpp:282-286, called from
+    # SubmapCollection.cpp:217 on rollover).  While the submap is ACTIVE
+    # its "center" is the creation origin (Submap.cpp:203-205:
+    # ``isCenterComputed_ ? submapCenter_ : mapToSubmap_.translation()``)
+    # — a running centroid would track the robot and defeat the
+    # travel-distance rollover criterion.
+    _center: Optional[np.ndarray] = None
 
     def is_empty(self) -> bool:
         return self.n_scans == 0
 
     def center(self) -> np.ndarray:
+        if self._center is not None:
+            return self._center
+        return self.pose[:3, 3].copy()
+
+    def compute_center(self) -> None:
+        """≙ Submap::computeSubmapCenter (Submap.cpp:282-286).
+
+        Device-side masked mean (3-float readback) — materializing the full
+        table to host just for a centroid would cost a map-sized transfer
+        on every rollover."""
         cloud = self.map.cloud
-        mask = np.asarray(cloud.mask)
-        if not mask.any():
-            return self.pose[:3, 3].copy()
-        return np.asarray(cloud.xyz)[mask].mean(axis=0)
+        w = cloud.mask.astype(jnp.float32)
+        n = w.sum()
+        s = (cloud.xyz * w[:, None]).sum(axis=0)
+        c = jnp.where(n > 0, s / jnp.maximum(n, 1.0),
+                      jnp.asarray(self.pose[:3, 3]))
+        self._center = np.asarray(c, dtype=np.float64)
 
     def transform(self, T: np.ndarray) -> None:
         """Rigidly move every layer (≙ Submap::transform)."""
@@ -99,3 +119,6 @@ class Submap:
         if self.feature_cloud is not None:
             self.feature_cloud = self.feature_cloud.transform(Tj)
         self.pose = np.asarray(Tj @ jnp.asarray(self.pose))
+        if self._center is not None:
+            Tn = np.asarray(T, dtype=np.float64)
+            self._center = Tn[:3, :3] @ self._center + Tn[:3, 3]

@@ -20,6 +20,13 @@ from ..utils.pointcloud import PointCloud
 from .submap import AdjacencyMatrix, Submap
 
 
+def _resolve(cloud_or_thunk) -> PointCloud:
+    """Merge clouds arrive either directly or as zero-arg thunks (the
+    Mapper's block path defers slicing stacked device outputs until a
+    consumer actually needs the cloud)."""
+    return cloud_or_thunk() if callable(cloud_or_thunk) else cloud_or_thunk
+
+
 class SubmapCollection:
     def __init__(self, params: MapperParameters):
         self.params = params
@@ -70,8 +77,13 @@ class SubmapCollection:
         self.active_idx = len(self.submaps) - 1
         self.num_scans_merged_in_active = 0
 
-    def _update_active_submap(self, map_to_range_sensor: np.ndarray, time: float) -> None:
-        """≙ updateActiveSubmap (SubmapCollection.cpp:94-148)."""
+    def _update_active_submap(self, map_to_range_sensor: np.ndarray, time: float,
+                              active_count: Optional[int] = None) -> None:
+        """≙ updateActiveSubmap (SubmapCollection.cpp:94-148).
+
+        ``active_count``: occupied-voxel count of the active submap, when
+        the caller already has it on host (the fused step returns it in
+        StepOutput.map_count) — avoids a blocking device readback here."""
         p = self.params.submaps
         pos = np.asarray(map_to_range_sensor)[:3, 3]
         if self._force_new:
@@ -83,7 +95,9 @@ class SubmapCollection:
         if self.is_localization_mode:
             return
         active = self.submaps[self.active_idx]
-        if int(active.map.count()) > p.point_capacity * 0.95:
+        if active_count is None:
+            active_count = int(active.map.count())
+        if active_count > p.point_capacity * 0.95:
             self._force_new = True  # point-budget rollover (≙ maxNumPoints_)
         closest_idx = self.find_closest_submap(pos)
         closest = self.submaps[closest_idx]
@@ -110,6 +124,7 @@ class SubmapCollection:
         sm = self.submaps[self.active_idx]
         if sm.n_scans == 0 or sm.n_scans % every != 0:
             return
+        scan_map_frame = _resolve(scan_map_frame)
         sm.map = voxel_map.carve(
             sm.map, scan_map_frame,
             jnp.asarray(map_to_range_sensor[:3, 3], jnp.float32),
@@ -131,7 +146,8 @@ class SubmapCollection:
         self.num_scans_merged_in_active += 1
 
     def post_insert_update(self, merge_cloud_map_frame: PointCloud,
-                           map_to_range_sensor: np.ndarray, time: float) -> bool:
+                           map_to_range_sensor: np.ndarray, time: float,
+                           active_count: Optional[int] = None) -> bool:
         """Submap lifecycle after a fused-step insertion (round-3 one-hot-
         path design): ``pipeline.mapper_step`` already fused the scan into
         the ACTIVE submap's voxel table on-device; this host call handles
@@ -153,16 +169,19 @@ class SubmapCollection:
             (merge_cloud_map_frame, np.asarray(map_to_range_sensor), time))
         prev_active = self.active_idx
         self.submaps[prev_active].n_scans += 1
-        self._update_active_submap(map_to_range_sensor, time)
+        self._update_active_submap(map_to_range_sensor, time,
+                                   active_count=active_count)
         changed = prev_active != self.active_idx
         if changed:
+            # Freeze the closing submap's center (≙ SubmapCollection.cpp:217).
+            self.submaps[prev_active].compute_center()
             self.finished_queue.append((prev_active, time))
             self.num_scans_merged_in_active = 0
             self.adjacency.add_edge(self.submaps[prev_active].submap_id,
                                     self.active_submap.submap_id)
             new = self.submaps[self.active_idx]
             for cloud, pose, t in list(self.overlap_buffer):
-                new.map = voxel_map.insert(new.map, cloud, voxel)
+                new.map = voxel_map.insert(new.map, _resolve(cloud), voxel)
                 new.n_scans += 1
             self.overlap_buffer.clear()
         else:
@@ -178,6 +197,7 @@ class SubmapCollection:
         active submap changed (caller may trigger feature computation).
         """
         voxel = self.params.map_builder.map_voxel_size
+        merge_cloud_map_frame = _resolve(merge_cloud_map_frame)
         if not self.submaps:
             self._create_new_submap(map_to_range_sensor, time)
             sm = self.submaps[self.active_idx]
@@ -195,6 +215,7 @@ class SubmapCollection:
             old = self.submaps[prev_active]
             old.map = voxel_map.insert(old.map, merge_cloud_map_frame, voxel)
             old.n_scans += 1
+            old.compute_center()  # ≙ SubmapCollection.cpp:217
             self.finished_queue.append((prev_active, time))
             self.num_scans_merged_in_active = 0
             self.adjacency.add_edge(self.submaps[prev_active].submap_id,
@@ -202,7 +223,7 @@ class SubmapCollection:
             # Replay overlap scans into the new submap (≙ insertBufferedScans).
             new = self.submaps[self.active_idx]
             for cloud, pose, t in list(self.overlap_buffer):
-                new.map = voxel_map.insert(new.map, cloud, voxel)
+                new.map = voxel_map.insert(new.map, _resolve(cloud), voxel)
                 new.n_scans += 1
             self.overlap_buffer.clear()
         else:

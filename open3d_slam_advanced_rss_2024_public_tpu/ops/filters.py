@@ -97,12 +97,33 @@ def voxel_downsample(cloud: PointCloud, voxel_size, capacity: int,
     big = jnp.int32(2**30)
     vkey = jnp.where(cloud.mask[:, None], vkey, big)
     if order == "morton":
-        from .hashgrid import morton_code
+        from .hashgrid import _part1by2
 
-        code = morton_code(cloud.xyz, cloud.mask, voxel_size)
-        o = jnp.argsort(code)
-        sk = jnp.where(cloud.mask[o, None], vkey[o], big)
-        order_idx = o
+        # Hierarchical Z-order key (ADVICE r3): a single 30-bit Morton code
+        # aliases distinct voxels once the cloud spans >= 1024 cells per
+        # axis (aliased voxels interleave in the sort and emit duplicate
+        # split voxels).  Split the relative cell coords into low 10 bits
+        # (fine Morton) and high bits (coarse Morton) and sort coarse-major
+        # — exact up to 2^20 cells per axis.  The coarse pass is a lax.cond
+        # so the common radius-cropped case pays ONE argsort.
+        lo_corner = jnp.min(jnp.where(cloud.mask[:, None], vkey, big), axis=0,
+                            keepdims=True)
+        k = jnp.where(cloud.mask[:, None], vkey - lo_corner, 0)
+        k_lo, k_hi = k & 1023, jnp.clip(k >> 10, 0, 1023)
+        inval = jnp.int32(1 << 30)
+
+        def z(c):
+            return (_part1by2(c[:, 0]) << 2) | (_part1by2(c[:, 1]) << 1) | \
+                _part1by2(c[:, 2])
+
+        code_lo = jnp.where(cloud.mask, z(k_lo), inval)
+        code_hi = jnp.where(cloud.mask, z(k_hi), inval)
+        o1 = jnp.argsort(code_lo, stable=True)
+        span_ok = jnp.max(jnp.where(cloud.mask[:, None], k, 0)) < 1024
+        order_idx = jax.lax.cond(
+            span_ok, lambda o: o,
+            lambda o: o[jnp.argsort(code_hi[o], stable=True)], o1)
+        sk = jnp.where(cloud.mask[order_idx, None], vkey[order_idx], big)
     else:
         order_idx = _lex_sort_by_voxel(cloud, vkey)
         sk = vkey[order_idx]

@@ -17,16 +17,24 @@ masked lanes blew up the query AABBs and the `lax.cond` carried predication
 cost either way (measured 6.6 ms at 8192x32768 vs ~0.15 ms of matmul —
 ~6% MXU utilization).
 
-Contract: **exact nearest neighbor for every query whose NN lies within
-``max_dist``** (AABB bound: dist(boxes) <= dist(points), so the true NN's
-tile is always admissible).  Beyond max_dist the returned candidate is
-unspecified — callers gate with ``d2 <= max_dist**2`` exactly as they gate
-kd-tree misses.
+Contract: **nearest neighbor for every query whose NN lies within
+``max_dist``, exact up to the packed-mantissa tie-break** — the argmin
+packs the lane index into the low 11 mantissa bits of d2+1, so two
+candidates within ~2.4e-4 m^2 of each other may resolve to either (the
+returned d2 is always the exact distance to the returned candidate;
+measured on chip vs float64: 98.7% exact-index, worst d2 excess
+2.0e-4 m^2).  The AABB bound (dist(boxes) <= dist(points)) keeps the true
+NN's tile always admissible.  Beyond max_dist the returned candidate is
+unspecified — callers gate with ``d2 <= max_dist**2`` exactly as they
+gate kd-tree misses.
 
-Numerics kept from round 2 (measured on v5e):
-  * q·pᵀ uses a 3-pass bf16 hi/lo decomposition: Mosaic's single-pass bf16
-    rounding of f32 operands perturbs d2 by O(10) at 30 m map scale; with
-    de-meaning + 3 passes the error is ~1e-2 m².
+Numerics (measured on v5e):
+  * q·pᵀ uses the full 4-pass bf16 hi/lo decomposition (hi·hi + hi·lo +
+    lo·hi + lo·lo): Mosaic's single-pass bf16 rounding of f32 operands
+    perturbs d2 by O(10) at 30 m map scale, and even the 3-pass variant
+    leaves ~1e-2 m² from the dropped lo·lo term (bf16 mantissa is only
+    8 bits).  With de-meaning + 4 passes the selection error is bounded
+    by the packed-mantissa tie-break below.
   * argmin uses the packed-min trick: the low 11 mantissa bits of the
     (+1-biased) distance hold the lane index, so one f32 min yields value
     and index together.  Exact d2 is recomputed outside from the matched
@@ -67,9 +75,16 @@ def _nn_kernel(count_ref, list_ref, q_ref, pt_ref, idx_ref, d2_ref):
         pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
         pc_lo = pc - pc_hi
         f32 = jnp.float32
+        # Full 4-pass bf16 decomposition: q.p = (hi+lo).(hi+lo).  The
+        # lo.lo term is NOT negligible on bf16's 8-bit mantissa — at the
+        # +-25 m de-meaned map extent lo reaches ~0.06 m per component, so
+        # dropping lo.lo perturbs d2 by up to ~1e-2 m^2 (measured round 4:
+        # 3.9% wrong-neighbor picks vs a float64 reference without it,
+        # 0.2% with it — the remainder is the packed-mantissa tie-break).
         dot = (jnp.dot(q_hi, pc_hi, preferred_element_type=f32)
                + jnp.dot(q_hi, pc_lo, preferred_element_type=f32)
-               + jnp.dot(q_lo, pc_hi, preferred_element_type=f32))  # [TQ, TP]
+               + jnp.dot(q_lo, pc_hi, preferred_element_type=f32)
+               + jnp.dot(q_lo, pc_lo, preferred_element_type=f32))  # [TQ, TP]
         p2 = jnp.sum(pc * pc, axis=0, keepdims=True)  # [1, TP]
         d2 = jnp.maximum(q2 + p2 - 2.0 * dot, 0.0)
         # +1.0 bias keeps the float normal (a zero-distance self-match

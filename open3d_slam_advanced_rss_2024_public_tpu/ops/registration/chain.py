@@ -47,6 +47,7 @@ import jax.numpy as jnp
 
 from ...utils.pointcloud import PointCloud
 from .. import filters, filters_extra, hashgrid, normals
+from . import loggers, parametrizable
 from .icp import ICPConfig
 
 Array = jax.Array
@@ -308,6 +309,8 @@ class FilterPipeline:
                 raise ValueError(
                     f"unknown DataPointsFilter {raw_name!r} (canonical {name!r}); "
                     f"known: {sorted(_FILTERS)}")
+            # Per-parameter bounds (≙ Parametrizable.cpp InvalidParameter).
+            parametrizable.validate("dataPointsFilter", name, params)
             self.specs.append((name, dict(params)))
 
     def __call__(self, cloud: PointCloud, key: Optional[Array] = None) -> PointCloud:
@@ -379,6 +382,9 @@ class IcpChain:
     # Reference descriptor channel consumed by GenericDescriptorOutlierFilter
     # (the grid is built carrying this channel).
     ref_desc_channel: str = None
+    # Chain logger (≙ the yaml `logger` section, Registry.cpp:126-127).
+    logger: "loggers.Logger" = dataclasses.field(
+        default_factory=lambda: loggers.NullLogger())
 
     def process_reading(self, cloud: PointCloud, key=None) -> PointCloud:
         return self.reading_filters(cloud, key)
@@ -415,9 +421,23 @@ class IcpChain:
         else:
             grid = reference
         if self.with_covariance:
-            return icp_mod.register_with_covariance(src, grid, init_T, self.config,
-                                                    sensor_std=self.sensor_std)
-        return icp_mod.register(src, grid, init_T, self.config)
+            res = icp_mod.register_with_covariance(src, grid, init_T, self.config,
+                                                   sensor_std=self.sensor_std)
+        else:
+            res = icp_mod.register(src, grid, init_T, self.config)
+        if self.logger.has_info:
+            # Per-call summary (the fused while-loop ICP cannot call host
+            # code per iteration; see loggers.py module docstring).
+            import numpy as _np
+
+            r = res[0] if isinstance(res, tuple) else res
+            t = _np.asarray(r.transform)[:3, 3]
+            self.logger.info(
+                f"PointMatcher::icp - reading {int(src.count())} pts, "
+                f"{int(r.iterations)} iterations, match ratio "
+                f"{float(r.match_ratio):.4f}, translation "
+                f"[{t[0]:.4f} {t[1]:.4f} {t[2]:.4f}]")
+        return res
 
 
 def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpChain:
@@ -447,6 +467,7 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
         cname = _canon(name)
         if cname not in ("kdtree", "kdtreevardist", "null", "bruteforce"):
             raise ValueError(f"unknown matcher {name!r}")
+        parametrizable.validate("matcher", cname, params)
         # KDTreeMatcher defaults (reference MatchersImpl.h): knn=1,
         # maxDist=inf.  knn>1 stacks all k matches as correspondences.
         # epsilon (approximate search) has no analogue in exact gather —
@@ -473,6 +494,7 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
             if cname not in _OUTLIER_MAP:
                 raise ValueError(f"unknown outlier filter {name!r}; "
                                  f"known: {sorted(_OUTLIER_MAP)}")
+            parametrizable.validate("outlierFilter", cname, params)
             if cname == "genericdescriptor":
                 ref_desc_channel = str(params.get("descName", "none"))
             entries.append(_OUTLIER_MAP[cname](params))
@@ -499,6 +521,7 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
     # transformation checkers -------------------------------------------------
     for name, params in _entries(chain.get("transformationCheckers")):
         cname = _canon(name)
+        parametrizable.validate("transformationChecker", cname, params)
         if cname == "counter":
             cfg_kw["max_iterations"] = int(params.get("maxIterationCount", 40))
         elif cname == "differential":
@@ -511,11 +534,19 @@ def from_dict(chain: Dict[str, Any], matcher_impl: str = "bruteforce") -> IcpCha
         else:
             raise ValueError(f"unknown transformation checker {name!r}")
 
-    # inspector / logger: accepted for config compatibility; profiling runs
-    # through utils.timing and the iteration-dump inspector (inspectors.py).
+    # logger ------------------------------------------------------------------
+    # (≙ Registry.cpp:126-127; inspector stays config-compatible — per-
+    # iteration dumps run through inspectors.py / utils.timing.)
+    logger = loggers.NullLogger()
+    lg = _entries(chain.get("logger"))
+    if lg:
+        lname, lparams = lg[0]
+        logger = loggers.make_logger(lname, lparams)
+
     return IcpChain(reading_filters=reading, reference_filters=reference,
                     config=ICPConfig(**cfg_kw), with_covariance=with_cov,
-                    sensor_std=sensor_std, ref_desc_channel=ref_desc_channel)
+                    sensor_std=sensor_std, ref_desc_channel=ref_desc_channel,
+                    logger=logger)
 
 
 def from_yaml(path: str, matcher_impl: str = "bruteforce") -> IcpChain:

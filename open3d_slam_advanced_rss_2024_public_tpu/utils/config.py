@@ -168,6 +168,12 @@ class MapBuilderParameters:
     is_carving_enabled: bool = False
     scan_cropping: ScanCroppingParameters = field(default_factory=ScanCroppingParameters)
     space_carving: SpaceCarvingParameters = field(default_factory=SpaceCarvingParameters)
+    # TPU-native overflow policy (no reference analogue — the reference's
+    # unordered_map grows unboundedly; the fixed-capacity table instead
+    # evicts the lowest-weight voxels when an insert overflowed).  The
+    # PRIMARY capacity bound remains the submap point-budget rollover.
+    is_overflow_eviction_enabled: bool = True
+    overflow_evict_keep_fraction: float = 0.75
 
 
 @dataclass(frozen=True)
@@ -205,6 +211,13 @@ class MapperLocalizerParameters:
     min_movement_between_mapping_steps: float = 0.0
     ignore_minimum_refinement_fitness: bool = False
     map_merge_delay_in_seconds: float = 10.0
+    # TPU-native knob (no reference analogue): how many scans the Mapper
+    # lets run ahead on-device before reading refined poses back in one
+    # batched transfer.  1 = fully synchronous (reference semantics,
+    # blocking per-scan readback); 8 amortizes the host<->device round-trip
+    # to ~1/8 per scan.  Host bookkeeping (trajectory buffers, submap
+    # rollover) lags by at most this many scans.
+    pose_readback_lag: int = 8
     scan_to_map_registration: ScanToMapRegistrationParameters = field(
         default_factory=ScanToMapRegistrationParameters)
 

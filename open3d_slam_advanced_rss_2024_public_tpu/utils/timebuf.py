@@ -8,8 +8,11 @@ queries.
 
 This is orchestration state (scheduling, initial guesses), so it lives on
 the host in numpy — the device only ever sees the already-resolved 4x4
-initial-guess matrix.  Interpolation math delegates to utils.se3 (jitted
-once, tiny).
+initial-guess matrix.  The slerp/extrapolation math is implemented in
+PURE numpy: over the axon tunnel every tiny device dispatch plus readback
+costs tens of milliseconds, and this buffer sits on the per-scan host
+path (measured round 4: two jnp-based get_transform calls per scan cost
+~200 ms — 10x the whole fused device step).
 """
 from __future__ import annotations
 
@@ -18,9 +21,106 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-import jax.numpy as jnp
 
-from . import se3
+def _quat_from_matrix(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> unit quaternion (w, x, y, z), Shepperd's method."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _quat_slerp(q0: np.ndarray, q1: np.ndarray, a: float) -> np.ndarray:
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = (1.0 - a) * q0 + a * q1
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    return (np.sin((1.0 - a) * th) * q0 + np.sin(a * th) * q1) / np.sin(th)
+
+
+def _interpolate(T0: np.ndarray, T1: np.ndarray, alpha: float) -> np.ndarray:
+    """Slerp rotation + lerp translation (≙ reference Transform.cpp:16-60)."""
+    q = _quat_slerp(_quat_from_matrix(T0[:3, :3]),
+                    _quat_from_matrix(T1[:3, :3]), alpha)
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = _quat_to_matrix(q)
+    out[:3, 3] = (1.0 - alpha) * T0[:3, 3] + alpha * T1[:3, 3]
+    return out
+
+
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    c = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(c)
+    if th < 1e-7:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]]) * 0.5
+    return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]]) * (th / (2.0 * np.sin(th)))
+
+
+def _hat(w: np.ndarray) -> np.ndarray:
+    return np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+
+
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    W = _hat(w)
+    if th < 1e-7:
+        return np.eye(3) + W
+    return (np.eye(3) + np.sin(th) / th * W
+            + (1.0 - np.cos(th)) / th**2 * (W @ W))
+
+
+def _extrapolate(T0: np.ndarray, T1: np.ndarray, alpha: float) -> np.ndarray:
+    """Continue the relative motion T0->T1 past T1: alpha=0 -> T0,
+    alpha=1 -> T1, alpha=2 -> T1 (T0^-1 T1)
+    (≙ reference Transform.cpp:62-118, se3 log/exp scaling)."""
+    D = np.linalg.inv(T0.astype(np.float64)) @ T1.astype(np.float64)
+    w = _so3_log(D[:3, :3])
+    th = np.linalg.norm(w)
+    W = _hat(w)
+    if th < 1e-7:
+        Vinv = np.eye(3) - 0.5 * W
+    else:
+        Vinv = (np.eye(3) - 0.5 * W
+                + (1.0 / th**2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(th)))
+                * (W @ W))
+    v = Vinv @ D[:3, 3]
+    aw, av = alpha * w, alpha * v
+    R = _so3_exp(aw)
+    tha = np.linalg.norm(aw)
+    Wa = _hat(aw)
+    if tha < 1e-7:
+        V = np.eye(3) + 0.5 * Wa
+    else:
+        V = (np.eye(3) + (1.0 - np.cos(tha)) / tha**2 * Wa
+             + (tha - np.sin(tha)) / tha**3 * (Wa @ Wa))
+    E = np.eye(4)
+    E[:3, :3] = R
+    E[:3, 3] = V @ av
+    return (T0.astype(np.float64) @ E).astype(np.float32)
 
 
 class TransformInterpolationBuffer:
@@ -90,9 +190,7 @@ class TransformInterpolationBuffer:
         i = bisect.bisect_right(self._times, time)
         t0, t1 = self._times[i - 1], self._times[i]
         alpha = (time - t0) / max(t1 - t0, 1e-12)
-        T = se3.interpolate(jnp.asarray(self._poses[i - 1]), jnp.asarray(self._poses[i]),
-                            jnp.float32(alpha))
-        return np.asarray(T)
+        return _interpolate(self._poses[i - 1], self._poses[i], alpha)
 
     def get_transform(self, time: float) -> np.ndarray:
         """Lookup with constant-velocity extrapolation beyond the newest pose
@@ -103,18 +201,16 @@ class TransformInterpolationBuffer:
         if len(self._times) >= 2 and time > self._times[-1]:
             t0, t1 = self._times[-2], self._times[-1]
             alpha = (time - t0) / max(t1 - t0, 1e-12)
-            T = se3.extrapolate(jnp.asarray(self._poses[-2]), jnp.asarray(self._poses[-1]),
-                                jnp.float32(alpha))
-            return np.asarray(T)
+            return _extrapolate(self._poses[-2], self._poses[-1], alpha)
         return self.lookup(time)
 
     def relative_motion(self, t0: float, t1: float) -> np.ndarray:
         """Motion delta lookup(t0)^-1 * lookup(t1) — the odometry prior the
         mapper chains onto the last refined pose (reference
         Mapper.cpp:265-300)."""
-        T0 = jnp.asarray(self.get_transform(t0))
-        T1 = jnp.asarray(self.get_transform(t1))
-        return np.asarray(se3.compose(se3.inverse(T0), T1))
+        T0 = self.get_transform(t0).astype(np.float64)
+        T1 = self.get_transform(t1).astype(np.float64)
+        return (np.linalg.inv(T0) @ T1).astype(np.float32)
 
     def apply_to_all(self, fn) -> None:
         """Apply a correction to every buffered pose (loop-closure feedback,

@@ -86,5 +86,29 @@ class StatsRegistry:
                              f"min {min(vals):.4f} max {max(vals):.4f} n={len(vals)}")
         return "\n".join(lines)
 
+    def to_dict(self) -> dict:
+        """Structured metrics snapshot — the machine-readable counterpart of
+        the reference's shutdown timing printout (SlamWrapper.cpp:77-78,
+        989-995): per-timer avg/count/Hz plus per-stat summary moments."""
+        import statistics
+
+        out = {"timers": {}, "stats": {}}
+        for name, t in sorted(self.timers.items()):
+            out["timers"][name] = {"avg_ms": round(t.avg_ms, 4),
+                                   "count": t.count,
+                                   "hz": round(t.hz, 3)}
+        for name, vals in sorted(self.stats.items()):
+            if vals:
+                out["stats"][name] = {
+                    "mean": statistics.fmean(vals),
+                    "min": min(vals), "max": max(vals), "n": len(vals)}
+        return out
+
+    def dump_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=1)
+
 
 GLOBAL_STATS = StatsRegistry()

@@ -66,7 +66,9 @@ def run_sequence(world, n_steps=25, drift=0.004, step=0.4, params=None, noise=0.
                                      noise=noise)
         mapper.odom_buffer.push(times[i], odom_poses[i])
         mapper.add_range_measurement(scan, times[i])
+        mapper.flush()  # per-scan pose check: drain the async lag block
         est.append(mapper.map_to_range_sensor.copy())
+    mapper.materialize()  # hand the live table back for direct map reads
     return gt_poses, odom_poses, est, mapper
 
 

@@ -112,6 +112,7 @@ def test_mapper_consumes_nonidentity_calibration():
         # (so S = O @ T_cal^-1, which is what the calibration undoes).
         mapper.odom_buffer.push(0.1 * i, gt[i] @ T_cal)
         mapper.add_range_measurement(scan, 0.1 * i)
+        mapper.flush()  # per-scan pose check: drain the async lag block
         est.append(mapper.map_to_range_sensor.copy())
     ate = io.ate_rmse(np.stack(est), np.stack(gt), align=False)
     assert ate < 0.06, f"calibrated odometry tracking ATE {ate:.3f}"

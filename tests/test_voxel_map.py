@@ -109,3 +109,74 @@ def test_carve_respects_truncation():
                              truncation_distance=0.3, max_ray_length=20.0,
                              steps=128)
     assert int(carved.count()) == 1
+
+
+def test_evict_low_weight_keeps_heaviest():
+    """Overflow policy (VERDICT r3 #6): eviction keeps the highest-weight
+    voxels with their exact accumulated sums and stays observable."""
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import voxel_map
+    from open3d_slam_advanced_rss_2024_public_tpu.utils.pointcloud import make_cloud
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    vm = voxel_map.empty(512)
+    vm = voxel_map.insert(vm, make_cloud(jnp.asarray(pts)), 0.2)
+    # Re-observe the first half several times -> those voxels gain weight.
+    for _ in range(3):
+        vm = voxel_map.insert(vm, make_cloud(jnp.asarray(pts[:128])), 0.2)
+    n0 = int(vm.count())
+    heavy = np.asarray(vm.weight) >= 3.0
+    heavy_means = np.asarray(vm.cloud.xyz)[heavy]
+    out = voxel_map.evict_low_weight(vm, keep_fraction=0.25)
+    n1 = int(out.count())
+    assert n1 <= int(512 * 0.25)
+    assert n1 < n0
+    # Every surviving voxel is one of the heavy ones (weights preserved).
+    ow = np.asarray(out.weight)
+    om = np.asarray(out.cloud.mask)
+    assert (ow[om] >= 3.0).all()
+    out_means = np.asarray(out.cloud.xyz)[om]
+    # Survivor means appear among the heavy originals.
+    d = np.linalg.norm(out_means[:, None, :] - heavy_means[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 1e-4).all()
+
+
+def test_mapper_overflow_triggers_eviction():
+    """A tiny-capacity map that overflows must evict (dropped counter
+    observable, subsequent scans keep landing)."""
+    from open3d_slam_advanced_rss_2024_public_tpu.frontends import synthetic
+    from open3d_slam_advanced_rss_2024_public_tpu.models.mapper import Mapper
+    from open3d_slam_advanced_rss_2024_public_tpu.utils.config import load_parameters
+
+    world = synthetic.corridor_world(jax.random.PRNGKey(5), length=40.0)
+    params = load_parameters({"mapper": {
+        "mapper_localizer": {
+            "is_print_timing_information": False,
+            "scan_to_map_registration": {
+                "min_refinement_fitness": 0.2,
+                "icp": {"max_n_iter": 6, "max_correspondence_dist": 0.6},
+                "scan_processing": {
+                    "voxel_size": 0.15, "point_capacity": 2048,
+                    "scan_cropping": {"cropping_radius_max": 15.0,
+                                      "cropping_radius_min": 0.5}},
+                "map_patch_capacity": 4096,
+            }},
+        # Tiny table + huge rollover threshold -> overflow must happen.
+        "submaps": {"point_capacity": 2048, "submap_size": 100.0,
+                    "min_num_range_data": 1000000},
+        "map_builder": {"map_voxel_size": 0.1},
+    }})
+    gt = synthetic.straight_trajectory(8, step=0.8)
+    mapper = Mapper(params)
+    mapper.set_map_to_range_sensor(gt[0])
+    keys = jax.random.split(jax.random.PRNGKey(9), 8)
+    for i in range(8):
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=2048)
+        mapper.odom_buffer.push(0.1 * i, gt[i])
+        mapper.add_range_measurement(scan, 0.1 * i)
+    mapper.flush()
+    assert mapper.stats.map_voxels_dropped > 0  # overflow observed
+    mapper.materialize()
+    # Eviction kept the table under capacity but populated.
+    n = int(mapper.submaps.active_submap.map.count())
+    assert 0 < n <= 2048
