@@ -159,3 +159,68 @@ def export_visualization_bundle(out_dir: str, slam, radius: float = 0.1) -> dict
     written["submap_origins"] = save_submap_origins(
         os.path.join(out_dir, "submap_origins.ply"), submaps)
     return written
+
+
+class LiveVisualizationPublisher:
+    """The live publishing surface (≙ SlamWrapperRos visualization worker,
+    SlamWrapperRos.cpp:247-330, publishing assembled map / submaps /
+    submap-origin axes / tracked + best-guess paths at a fixed rate, and
+    helpers_ros publishIfSubscriberExists).
+
+    Transport-agnostic: every tick renders the current bundle into
+    ``out_dir`` via ATOMIC tmp+rename (a viewer or file-watcher always sees
+    a complete file — the "topic"), and optionally invokes ``publish_fn``
+    with the written paths (wire it to any IPC/network transport).  Ticks
+    are skipped while nothing new arrived (the subscriber-exists analogue:
+    no work without consumers of fresh data).
+
+    Reads only host-materialized state (the submaps' latest flushed tables
+    and the pose buffers) — it never flushes or locks the Mapper's hot
+    path.
+    """
+
+    def __init__(self, out_dir: str, publish_fn=None, tube_radius: float = 0.05):
+        self.out_dir = out_dir
+        self.publish_fn = publish_fn
+        self.tube_radius = tube_radius
+        self._last_count = -1
+        self.publish_count = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _atomic(self, name: str, write):
+        path = os.path.join(self.out_dir, name)
+        base, ext = os.path.splitext(path)
+        tmp = base + ".tmp" + ext  # keep the extension for format sniffing
+        n = write(tmp)
+        os.replace(tmp, path)
+        return path, n
+
+    def tick(self, slam) -> Optional[dict]:
+        """Render one bundle if the trajectory advanced; returns the
+        written paths (or None when skipped)."""
+        n_poses = len(slam.trajectory_poses)
+        if n_poses == self._last_count or n_poses == 0:
+            return None
+        self._last_count = n_poses
+        submaps = list(slam.mapper.submaps.submaps)
+        poses = [p.copy() for p in slam.trajectory_poses]
+        best = [T for _, T in slam.mapper.best_guess_buffer.items()]
+        written = {}
+        written["submaps_colored"], _ = self._atomic(
+            "submaps_colored.ply",
+            lambda p: save_colored_submaps(p, submaps))
+        written["trajectory_tube"], _ = self._atomic(
+            "trajectory_tube.pcd",
+            lambda p: save_trajectory_tube(p, poses, radius=self.tube_radius))
+        if best:
+            written["best_guess_tube"], _ = self._atomic(
+                "best_guess_tube.pcd",
+                lambda p: save_trajectory_tube(p, best,
+                                               radius=self.tube_radius * 0.6))
+        written["submap_origins"], _ = self._atomic(
+            "submap_origins.ply",
+            lambda p: save_submap_origins(p, submaps))
+        self.publish_count += 1
+        if self.publish_fn is not None:
+            self.publish_fn(written)
+        return written

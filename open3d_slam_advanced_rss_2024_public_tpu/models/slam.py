@@ -347,6 +347,37 @@ class SlamWrapper:
             t.start()
             self._workers.append(t)
 
+    def start_visualization(self, out_dir: str, rate_hz: float = 1.0,
+                            publish_fn=None) -> None:
+        """Live periodic visualization worker (≙ the reference's
+        visualization worker publishing assembled map / submaps /
+        submap-origin axes / tracked + best-guess paths at a fixed rate,
+        SlamWrapperRos.cpp:247-330).
+
+        Renders to ``out_dir`` with atomic replaces (file-watcher friendly)
+        through frontends.viz.LiveVisualizationPublisher; ``publish_fn``
+        receives the written paths each tick for custom transports.  Ticks
+        with no new trajectory data are skipped.  Runs off the hot path
+        (reads only host-materialized snapshots).
+        """
+        from ..frontends.viz import LiveVisualizationPublisher
+
+        pub = LiveVisualizationPublisher(out_dir, publish_fn=publish_fn)
+        self.viz_publisher = pub
+
+        def viz_worker():
+            period = 1.0 / max(rate_hz, 1e-3)
+            while not self._stop.is_set():
+                try:
+                    pub.tick(self)
+                except Exception:  # viz must never kill the pipeline
+                    pass
+                _time.sleep(period)
+
+        t = threading.Thread(target=viz_worker, name="slam-viz", daemon=True)
+        t.start()
+        self._workers.append(t)
+
     def start_pose_stream(self, callback, rate_hz: float = 200.0) -> None:
         """Fixed-rate map->sensor pose output stream.
 

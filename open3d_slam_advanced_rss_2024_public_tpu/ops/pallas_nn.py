@@ -63,30 +63,24 @@ _IDX_MASK = (1 << _IDX_BITS) - 1
 def _nn_kernel(count_ref, list_ref, q_ref, pt_ref, idx_ref, d2_ref):
     i = pl.program_id(0)
     q = q_ref[:]  # [TQ, 8]
-    q_hi = q.astype(jnp.bfloat16).astype(jnp.float32)
-    q_lo = q - q_hi
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, TP), 1)
 
     def visit(s, carry):
         best_packed, best_tile = carry
         jt = list_ref[i, s]
         pc = pt_ref[:, pl.ds(jt * TP, TP)]  # [8, TP]
-        pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
-        pc_lo = pc - pc_hi
-        f32 = jnp.float32
-        # Full 4-pass bf16 decomposition: q.p = (hi+lo).(hi+lo).  The
-        # lo.lo term is NOT negligible on bf16's 8-bit mantissa — at the
-        # +-25 m de-meaned map extent lo reaches ~0.06 m per component, so
-        # dropping lo.lo perturbs d2 by up to ~1e-2 m^2 (measured round 4:
-        # 3.9% wrong-neighbor picks vs a float64 reference without it,
-        # 0.2% with it — the remainder is the packed-mantissa tie-break).
-        dot = (jnp.dot(q_hi, pc_hi, preferred_element_type=f32)
-               + jnp.dot(q_hi, pc_lo, preferred_element_type=f32)
-               + jnp.dot(q_lo, pc_hi, preferred_element_type=f32)
-               + jnp.dot(q_lo, pc_lo, preferred_element_type=f32))  # [TQ, TP]
-        p2 = jnp.sum(pc * pc, axis=0, keepdims=True)  # [1, TP]
-        d2 = jnp.maximum(q2 + p2 - 2.0 * dot, 0.0)
+        # Direct VPU distance: sum_c (q_c - p_c)^2, exact f32.  At K=3 the
+        # MXU formulation (q2 + p2 - 2 q.p) runs the systolic array at ~6%
+        # utilization AND needs a 4-pass bf16 hi/lo decomposition to keep
+        # d2 trustworthy (bf16's 8-bit mantissa leaves ~1e-2 m^2 from the
+        # dropped lo.lo term at +-25 m extents — measured 3.9% wrong
+        # neighbors).  Three broadcast-subtract-FMA sweeps over [TQ, TP]
+        # on the VPU are both faster at this K and exactly f32 — no
+        # cancellation, no decomposition (round-4 redesign).
+        d2 = jnp.zeros((TQ, TP), jnp.float32)
+        for c in range(3):
+            diff = q[:, c][:, None] - pc[c, :][None, :]
+            d2 = d2 + diff * diff
         # +1.0 bias keeps the float normal (a zero-distance self-match
         # packs to a denormal whose mantissa — the index! — gets flushed
         # to zero on the VPU); ordering is preserved, exact d2 is

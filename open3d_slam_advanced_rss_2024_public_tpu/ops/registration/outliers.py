@@ -18,6 +18,39 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _kth_smallest_nonneg(d: Array, kth: Array) -> Array:
+    """Exact k-th smallest (0-based, per leading batch) of a NON-NEGATIVE
+    float array (+inf allowed) — 4x8-bit radix select on the IEEE-754 bit
+    pattern, which is monotone for non-negative floats.
+
+    Replaces the full ``jnp.sort`` the trimmed/median quantile filters ran
+    EVERY ICP iteration: four histogram passes (each a [..., N, 256]
+    one-hot reduction) cost a fraction of an 8k bitonic sort on the VPU
+    and return the bit-exact same value as ``sort(d)[kth]``.
+    """
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    want = kth.astype(jnp.int32)
+    prefix = jnp.zeros_like(want)
+    pmask = jnp.int32(0)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    for shift in (24, 16, 8, 0):
+        in_prefix = (bits & pmask) == prefix[..., None]
+        digit = (bits >> shift) & 255
+        oh = jnp.logical_and(digit[..., None] == bins, in_prefix[..., None])
+        hist = jnp.sum(oh, axis=-2, dtype=jnp.int32)       # [..., 256]
+        cum = jnp.cumsum(hist, axis=-1)
+        b = jnp.argmax(cum > want[..., None], axis=-1).astype(jnp.int32)
+        below = jnp.where(
+            b > 0,
+            jnp.take_along_axis(cum, jnp.maximum(b - 1, 0)[..., None],
+                                axis=-1)[..., 0],
+            0)
+        want = want - below
+        prefix = prefix | (b << shift)
+        pmask = pmask | (jnp.int32(255) << shift)
+    return jax.lax.bitcast_convert_type(prefix, jnp.float32)
+
+
 def _dists_quantile(sq_dists: Array, valid: Array, ratio, slot_mask: Array = None) -> Array:
     """``Matches::getDistsQuantile``: the distance value at floor(ratio * n)
     of the sorted match-distance list.
@@ -34,9 +67,13 @@ def _dists_quantile(sq_dists: Array, valid: Array, ratio, slot_mask: Array = Non
     # Padded lanes (beyond the reference's notion of N) sort after real infs
     # is irrelevant — both are +inf; the INDEX basis is what must exclude them.
     n_slots = jnp.sum(slot_mask.astype(jnp.int32), axis=-1)
-    d_sorted = jnp.sort(d, axis=-1)
     kth = jnp.clip((ratio * n_slots.astype(jnp.float32)).astype(jnp.int32), 0, n - 1)
-    return jnp.take_along_axis(d_sorted, kth[..., None], axis=-1)[..., 0], d
+    if jax.default_backend() in ("cpu", "gpu"):
+        # CPU/GPU XLA: the bitonic sort beats the histogram passes there
+        # (and tests pin CPU).  Same value bit-for-bit either way.
+        d_sorted = jnp.sort(d, axis=-1)
+        return jnp.take_along_axis(d_sorted, kth[..., None], axis=-1)[..., 0], d
+    return _kth_smallest_nonneg(d, kth), d
 
 
 def trimmed_dist_weights(sq_dists: Array, valid: Array, ratio: float,

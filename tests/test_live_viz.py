@@ -1,0 +1,112 @@
+"""Live visualization surface (VERDICT r3 missing #1): periodic bundle
+publisher with atomic replaces, wired into SlamWrapper as a worker, plus
+the standalone visualizer node's HTTP serving.
+
+Reference: SlamWrapperRos.cpp:247-330 (visualization worker),
+visualizer_node.cpp:20-60, helpers_ros.cpp (colored assembly / axes).
+"""
+import os
+import time as _t
+import urllib.request
+
+import numpy as np
+import jax
+
+from open3d_slam_advanced_rss_2024_public_tpu.frontends import synthetic, visualizer_node
+from open3d_slam_advanced_rss_2024_public_tpu.models.slam import SlamWrapper
+from open3d_slam_advanced_rss_2024_public_tpu.utils.config import load_parameters
+
+
+def _params():
+    return load_parameters({"mapper": {
+        "mapper_localizer": {
+            "is_print_timing_information": False,
+            "is_attempt_loop_closures": False,
+            "scan_to_map_registration": {
+                "min_refinement_fitness": 0.25,
+                "icp": {"max_n_iter": 8, "max_correspondence_dist": 0.6},
+                "scan_processing": {
+                    "voxel_size": 0.2, "point_capacity": 1024,
+                    "scan_cropping": {"cropping_radius_max": 12.0,
+                                      "cropping_radius_min": 0.5}},
+                "map_patch_capacity": 4096}},
+        "submaps": {"point_capacity": 8192, "submap_size": 20.0},
+        "map_builder": {"map_voxel_size": 0.2},
+    }})
+
+
+def test_live_viz_publishes_and_updates(tmp_path):
+    world = synthetic.cluttered_world(jax.random.PRNGKey(2), extent=14.0,
+                                      n_objects=12)
+    gt = synthetic.straight_trajectory(4, step=0.5, start=(1.0, 0.0, 1.0))
+    slam = SlamWrapper(_params())
+    slam.set_initial_transform(gt[0])
+    out = str(tmp_path / "viz")
+    keys = jax.random.split(jax.random.PRNGKey(4), 4)
+    # Offline stepping + manual ticks (deterministic, no worker timing).
+    from open3d_slam_advanced_rss_2024_public_tpu.frontends.viz import (
+        LiveVisualizationPublisher)
+
+    pub = LiveVisualizationPublisher(out)
+    published = []
+    pub.publish_fn = lambda paths: published.append(dict(paths))
+    for i in range(4):
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=1024,
+                                     max_range=10.0)
+        slam.use_pair_for_registration(scan, gt[i], 0.1 * i)
+        pub.tick(slam)
+    # No-new-data ticks are skipped (publishIfSubscriberExists analogue).
+    n_pub = pub.publish_count
+    assert pub.tick(slam) is None
+    assert pub.publish_count == n_pub
+    assert published, "publish_fn never called"
+    for name in ("submaps_colored.ply", "trajectory_tube.pcd",
+                 "submap_origins.ply"):
+        p = os.path.join(out, name)
+        assert os.path.exists(p), name
+        assert os.path.getsize(p) > 0
+        base, ext = os.path.splitext(p)
+        assert not os.path.exists(base + ".tmp" + ext)  # atomic replace done
+    assert n_pub >= 2  # updated as the trajectory advanced
+
+
+def test_visualizer_node_serves_bundle(tmp_path):
+    d = tmp_path / "bundle"
+    d.mkdir()
+    (d / "map.pcd").write_bytes(b"# fake pcd payload")
+    server = visualizer_node.serve(str(d), port=0, background=True)
+    try:
+        port = server.server_address[1]
+        idx = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "map.pcd" in idx
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/map.pcd", timeout=5).read()
+        assert body == b"# fake pcd payload"
+    finally:
+        server.shutdown()
+
+
+def test_slamwrapper_viz_worker(tmp_path):
+    """The in-process worker thread publishes while workers run."""
+    world = synthetic.cluttered_world(jax.random.PRNGKey(3), extent=14.0,
+                                      n_objects=12)
+    gt = synthetic.straight_trajectory(3, step=0.5, start=(1.0, 0.0, 1.0))
+    slam = SlamWrapper(_params())
+    slam.set_initial_transform(gt[0])
+    out = str(tmp_path / "live")
+    slam.start_workers()
+    slam.start_visualization(out, rate_hz=20.0)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    for i in range(3):
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=1024,
+                                     max_range=10.0)
+        slam.add_odometry_pose(0.1 * i, gt[i])
+        while not slam.add_range_scan(scan, 0.1 * i):
+            _t.sleep(0.01)
+    deadline = _t.time() + 120
+    while _t.time() < deadline and slam.viz_publisher.publish_count == 0:
+        _t.sleep(0.05)
+    slam.stop_workers()
+    assert slam.viz_publisher.publish_count >= 1
+    assert os.path.exists(os.path.join(out, "trajectory_tube.pcd"))
