@@ -156,7 +156,6 @@ def assemble_normal_equations(r: Array, Ji: Array, Jj: Array, W: Array,
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
-@partial(jax.jit, static_argnames=("max_iterations",))
 def solve(graph: PoseGraphArrays, reference_node: Array,
           loop_closure_preference: float = 2.0,
           edge_prune_threshold: float = 0.2,
@@ -283,6 +282,11 @@ class OptimizationProblem:
         X, s, cost = solve(graph, jnp.int32(reference_node),
                            loop_closure_preference, edge_prune_threshold,
                            max_iterations=max_iterations)
+        # Pre-issue async host copies: a cold synchronous small-array
+        # readback over the device tunnel costs tens of ms (see
+        # PROFILE.md round-4 environment table).
+        X.copy_to_host_async()
+        s.copy_to_host_async()
         X = np.asarray(X)
         self.last_switch_weights = np.asarray(s)
         increments = {}

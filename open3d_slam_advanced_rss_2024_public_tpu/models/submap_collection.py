@@ -68,8 +68,12 @@ class SubmapCollection:
             submap_id=len(self.submaps),
             parent_id=parent,
             creation_time=time,
-            map=voxel_map.empty(self.params.submaps.point_capacity),
-            dense_map=(voxel_map.empty(self.params.submaps.point_capacity)
+            # 2x slots per point budget: the point-budget rollover fires at
+            # 0.95 * point_capacity OCCUPANCY, and open addressing needs
+            # load factor <= ~0.5 to keep probe chains short (the windowed
+            # scatter-min claim degrades sharply above that).
+            map=voxel_map.empty(2 * self.params.submaps.point_capacity),
+            dense_map=(voxel_map.empty(2 * self.params.submaps.point_capacity)
                        if self.params.mapper_localizer.is_build_dense_map else None),
             pose=np.asarray(map_to_range_sensor, dtype=np.float32).copy(),
         )
