@@ -30,7 +30,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--odometry-topic", help="nav_msgs/Odometry topic for "
                     "external-odometry pairing (optional)")
     ap.add_argument("--params", help="parameter file: .lua (reference-compatible "
-                    "Lua schema) or .json, deep-merged onto defaults")
+                    "Lua schema), .yaml (legacy YAML schema) or .json, "
+                    "deep-merged onto defaults")
     ap.add_argument("--params-search-dir", action="append", default=[],
                     help="extra include search dirs for .lua params "
                     "(repeatable; ≙ ConfigurationFileResolver)")
@@ -45,6 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--initial-map", help="PCD prior map (localization mode)")
     ap.add_argument("--eval-ate", action="store_true",
                     help="report ATE vs ground truth when available")
+    ap.add_argument("--viz-dir", help="write the live visualization bundle "
+                    "here during the run (serve it with "
+                    "frontends.visualizer_node)")
+    ap.add_argument("--viz-every", type=int, default=25,
+                    help="publish the bundle every N frames")
     return ap
 
 
@@ -63,11 +69,17 @@ def main(argv=None) -> int:
                                                search_dirs=args.params_search_dir)
         for w in warnings:
             print(f"[params] {w}", file=sys.stderr)
+    elif args.params and args.params.endswith((".yaml", ".yml")):
+        from ..utils.yaml_config import load_legacy_yaml
+
+        params = load_legacy_yaml(args.params)
     elif args.params:
         params = load_parameters_file(args.params)
     else:
         params = load_parameters(None)
-    runner = replay_mod.ReplayRunner(params, output_dir=args.output)
+    runner = replay_mod.ReplayRunner(params, output_dir=args.output,
+                                     viz_dir=args.viz_dir,
+                                     viz_every=args.viz_every)
 
     if args.initial_map:
         from ..models.map_initializer import SlamMapInitializer

@@ -69,12 +69,22 @@ class ReplayRunner:
     def __init__(self, params: Optional[SlamParameters] = None,
                  output_dir: Optional[str] = None,
                  print_progress: bool = True,
-                 num_accumulated_range_data: int = 1):
+                 num_accumulated_range_data: int = 1,
+                 viz_dir: Optional[str] = None,
+                 viz_every: int = 25):
         self.slam = SlamWrapper(params)
         self.output_dir = output_dir
         self.print_progress = print_progress
         self.num_accumulated_range_data = num_accumulated_range_data
         self.timer = Timer("scan")
+        # Periodic live bundle during offline replay (the online path uses
+        # SlamWrapper.start_visualization instead).
+        self.viz_every = max(int(viz_every), 1)
+        self._viz = None
+        if viz_dir:
+            from .viz import LiveVisualizationPublisher
+
+            self._viz = LiveVisualizationPublisher(viz_dir)
 
     def run(self, frames: Iterable[ReplayFrame],
             initial_pose: Optional[np.ndarray] = None) -> SlamWrapper:
@@ -91,6 +101,8 @@ class ReplayRunner:
                 first = False
             with self.timer:
                 slam.use_pair_for_registration(frame.scan, frame.odom_pose, frame.time)
+            if self._viz is not None and (i % self.viz_every == 0):
+                self._viz.tick(slam)
             if self.print_progress and (i % 25 == 0):
                 p = slam.mapper.map_to_range_sensor[:3, 3]
                 print(f"[replay] frame {i:5d} t={frame.time:8.2f} "

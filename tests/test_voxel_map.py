@@ -162,7 +162,7 @@ def test_mapper_overflow_triggers_eviction():
                 "map_patch_capacity": 4096,
             }},
         # Tiny table + huge rollover threshold -> overflow must happen.
-        "submaps": {"point_capacity": 2048, "submap_size": 100.0,
+        "submaps": {"point_capacity": 1024, "submap_size": 100.0,
                     "min_num_range_data": 1000000},
         "map_builder": {"map_voxel_size": 0.1},
     }})
@@ -179,4 +179,4 @@ def test_mapper_overflow_triggers_eviction():
     mapper.materialize()
     # Eviction kept the table under capacity but populated.
     n = int(mapper.submaps.active_submap.map.count())
-    assert 0 < n <= 2048
+    assert 0 < n <= 2048  # 2x-slot table over the 1024-point budget
