@@ -304,9 +304,11 @@ class SlamWrapper:
                 scan = self._motion_compensate(item.scan)
                 self.mapper.add_range_measurement(scan, item.time)
                 # Readback-lag policy: blocks amortize the host round-trip
-                # only under back-pressure.  When no scan is waiting, flush
-                # now so the online pose latency stays one scan, not K.
-                if self.mapping_queue.empty():
+                # only under back-pressure.  When the WHOLE intake is idle
+                # (nothing queued here or upstream at the odometry worker),
+                # flush now so the online pose latency stays one scan, not
+                # K; under saturation the lag pipeline stays intact.
+                if self.mapping_queue.empty() and self.odometry_queue.empty():
                     self.mapper.flush()
                 # Drain whatever flushed (possibly nothing this scan).
                 self._consume_finalized()

@@ -136,10 +136,8 @@ def _round_up_pow2(n: int) -> int:
 def empty(capacity: int, attr_names: tuple = ()) -> VoxelMap:
     """An empty table with capacity rounded up to a power of two.
 
-    jitted so the table's buffers are program outputs: the axon TPU
-    backend rejects donating raw client-allocated buffers (InvalidArgument
-    at execute) and every empty map eventually flows into the donating
-    ``pipeline.mapper_step``."""
+    jitted so the table's buffers materialize on device as program
+    outputs (the host-side fill lands once)."""
     C = _round_up_pow2(max(capacity, 2))
     return VoxelMap(
         ptable=jnp.full((C,), _EMPTY, jnp.int32),

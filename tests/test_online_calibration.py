@@ -90,11 +90,14 @@ def test_mapper_consumes_nonidentity_calibration():
     params = load_parameters({
         "mapper": {
             "mapper_localizer": {
+                # Shapes/statics aligned with test_bag_to_ate so the fused
+                # step compiles ONCE per pytest process for both files.
                 "scan_to_map_registration": {
-                    "icp": {"max_n_iter": 10, "max_correspondence_dist": 0.6},
+                    "scan_to_map_refinement_type": "PointToPlaneIcp",
+                    "icp": {"max_n_iter": 12, "max_correspondence_dist": 0.6},
                     "scan_processing": {
                         "voxel_size": 0.15, "point_capacity": 2048,
-                        "scan_cropping": {"cropping_radius_max": 15.0,
+                        "scan_cropping": {"cropping_radius_max": 18.0,
                                           "cropping_radius_min": 0.5}},
                     "map_patch_capacity": 8192,
                 }},
