@@ -52,17 +52,20 @@ class _BundleHandler(http.server.SimpleHTTPRequestHandler):
         super().do_GET()
 
 
-def serve(directory: str, port: int = 8008, background: bool = False):
-    """Serve ``directory`` on ``port``; returns the server (background mode)
-    or blocks forever."""
+def serve(directory: str, port: int = 8008, background: bool = False,
+          host: str = "127.0.0.1"):
+    """Serve ``directory`` on ``host:port``; returns the server (background
+    mode) or blocks forever.  Binds loopback by default (ADVICE r4: the
+    bundle exposes the live map — pass host="0.0.0.0" explicitly to serve
+    other interfaces)."""
     handler = functools.partial(_BundleHandler, directory=directory)
-    server = http.server.ThreadingHTTPServer(("0.0.0.0", port), handler)
+    server = http.server.ThreadingHTTPServer((host, port), handler)
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True,
                              name="viz-http")
         t.start()
         return server
-    print(f"serving {directory} on http://0.0.0.0:{port}", file=sys.stderr)
+    print(f"serving {directory} on http://{host}:{port}", file=sys.stderr)
     server.serve_forever()
 
 
@@ -72,13 +75,16 @@ def main(argv=None):
     g.add_argument("--dir", help="live visualization bundle directory")
     g.add_argument("--map", help="single map file (pcd/ply) to serve")
     ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; use 0.0.0.0 to "
+                         "expose on all interfaces)")
     args = ap.parse_args(argv)
     if args.map:
         d = tempfile.mkdtemp(prefix="o3dslam_viz_")
         shutil.copy(args.map, os.path.join(d, os.path.basename(args.map)))
-        serve(d, args.port)
+        serve(d, args.port, host=args.host)
     else:
-        serve(args.dir, args.port)
+        serve(args.dir, args.port, host=args.host)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ from ..ops.registration import ICPConfig
 from ..utils.config import SlamParameters
 from ..utils.pointcloud import PointCloud
 from ..utils.timebuf import TransformInterpolationBuffer
+from ..utils.timing import GLOBAL_STATS as _STATS
 from . import pipeline
 
 
@@ -102,9 +103,14 @@ class MapperStats:
     scans_rejected_low_fitness: int = 0
     out_of_order: int = 0
     insertions: int = 0
-    # Voxels silently dropped by the fixed-capacity table (ADVICE r3:
-    # surface truncation to the host).  Updated at every flush.
+    # Voxels dropped by the fixed-capacity table, accumulated MONOTONICALLY
+    # across submap rollovers / evictions / table swaps (ADVICE r3+r4: the
+    # raw per-table counter restarts whenever the chained table is
+    # replaced; the Mapper tracks per-table deltas into this total).
     map_voxels_dropped: int = 0
+    # Finalized records evicted unread because no consumer drained them
+    # (ADVICE r4: direct Mapper drivers that never call drain_finalized).
+    finalized_evicted: int = 0
 
 
 @dataclasses.dataclass
@@ -192,8 +198,15 @@ class Mapper:
         # the first scan's shapes).
         self._pad_scan: Optional[PointCloud] = None
         # Per-scan results in flush order, drained by the runtime (bounded:
-        # an undrained consumer must not pin merged clouds forever).
-        self.finalized: Deque[Finalized] = deque(maxlen=4096)
+        # an undrained consumer must not pin merged clouds forever; records
+        # evicted at the cap get their device-buffer thunks nulled and are
+        # counted in stats.finalized_evicted — see _finalize).
+        self.finalized: Deque[Finalized] = deque()
+        self.finalized_cap = 4096
+        # Last-seen value of the CURRENT table's cumulative drop counter
+        # (restarts when the chained table is swapped — rollover, eviction,
+        # transform); stats.map_voxels_dropped accumulates the deltas.
+        self._dropped_seen = 0
         # One lock serializes state/pending mutation: the map worker steps
         # while finish/save/loop-closure threads flush or materialize.
         self._lock = threading.RLock()
@@ -315,9 +328,10 @@ class Mapper:
             # The fresh active submap was host-assembled (overlap replay /
             # stale-tail inserts); rebuild the chained state from it.  The
             # closed submap keeps the chain-end table.
-            self._state = pipeline.make_state(
-                self.submaps.active_submap.map, self.map_to_range_sensor,
-                self.last_insertion_pose)
+            with _STATS.time("mapper/rollover_rebuild"):
+                self._state = pipeline.make_state(
+                    self.submaps.active_submap.map, self.map_to_range_sensor,
+                    self.last_insertion_pose)
 
     def _process_block(self, blk: _InflightBlock, rolled: bool) -> bool:
         """Host bookkeeping for one dispatched block: pose/trajectory
@@ -325,13 +339,14 @@ class Mapper:
         updated ``rolled`` flag (True once any record triggered a submap
         rollover — every later record's device fusion landed in the closed
         submap's table, so those are host-inserted into the fresh one)."""
-        vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
-                               blk.outs.inserted, blk.outs.map_count,
-                               blk.outs.dropped))
+        with _STATS.time("mapper/block_readback"):
+            vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
+                                   blk.outs.inserted, blk.outs.map_count,
+                                   blk.outs.dropped))
         poses, matches, inserteds, mcounts, droppeds = (np.asarray(v) for v in vals)
         ml = self.params.mapper.mapper_localizer
         sc = self.submaps
-        dropped_before = self.stats.map_voxels_dropped
+        block_drops = 0
         for k, q in enumerate(blk.items):
             pose = poses[k].astype(np.float32)
             best_guess = (self.map_to_range_sensor_prev @ q.motion).astype(
@@ -346,7 +361,18 @@ class Mapper:
                 # The device program already fell back to the odometry
                 # estimate (fitness gate inside the step); count it here.
                 self.stats.scans_rejected_low_fitness += 1
-            self.stats.map_voxels_dropped = int(droppeds[k])
+            # Monotone drop accounting: the raw counter is cumulative PER
+            # TABLE and restarts on every table swap (rollover, transform);
+            # a negative delta means a fresh table whose whole counter is
+            # new drops (ADVICE r4).
+            d = int(droppeds[k])
+            delta = d - self._dropped_seen
+            if delta < 0:
+                delta = d
+            if delta > 0:
+                self.stats.map_voxels_dropped += delta
+                block_drops += delta
+            self._dropped_seen = d
             # Lazy per-scan view of the stacked merged cloud: slicing
             # enqueues device ops, so consumers (overlap replay, carving,
             # dense map) resolve it only when actually needed.
@@ -358,9 +384,10 @@ class Mapper:
                     # rollover/carving see it (no donation -> the alias
                     # stays valid indefinitely).
                     sc.active_submap.map = self._state.map
-                    changed = sc.post_insert_update(
-                        merged_thunk, pose, q.time,
-                        active_count=int(mcounts[k]))
+                    with _STATS.time("mapper/post_insert"):
+                        changed = sc.post_insert_update(
+                            merged_thunk, pose, q.time,
+                            active_count=int(mcounts[k]))
                     if changed:
                         rolled = True
                     elif sc.active_submap.map is not self._state.map:
@@ -376,14 +403,15 @@ class Mapper:
                     # the CLOSED submap (kept — same spirit as the
                     # reference's scan-overlap); host-insert them into the
                     # fresh active submap.
-                    sc.insert_scan(merged_thunk, pose, q.time)
+                    with _STATS.time("mapper/rollover_tail_insert"):
+                        sc.insert_scan(merged_thunk, pose, q.time)
                 self.last_insertion_pose = pose.copy()
                 self.stats.insertions += 1
-            self.finalized.append(Finalized(
+            self._finalize(Finalized(
                 time=q.time, pose=pose, merged=merged_thunk, raw=q.scan,
                 fitness=fitness, inserted=bool(inserteds[k])))
         mb = self.params.mapper.map_builder
-        if (int(droppeds[-1]) > dropped_before
+        if (block_drops > 0
                 and mb.is_overflow_eviction_enabled and not rolled):
             # Overflow policy: this block dropped voxels — evict the
             # lowest-weight fraction of the chain-end table so subsequent
@@ -407,6 +435,19 @@ class Mapper:
             self._dispatch_block()
             self._process_ready(keep=0)
 
+    def _finalize(self, rec: Finalized) -> None:
+        """Append a per-scan record for drain_finalized, evicting past the
+        cap.  Evicted records get their merged/raw references nulled so an
+        undrained long run cannot pin whole stacked-block device buffers
+        in HBM (ADVICE r4); evictions are counted in
+        stats.finalized_evicted."""
+        self.finalized.append(rec)
+        while len(self.finalized) > self.finalized_cap:
+            old = self.finalized.popleft()
+            old.merged = None
+            old.raw = None
+            self.stats.finalized_evicted += 1
+
     def drain_finalized(self) -> List[Finalized]:
         with self._lock:
             out = list(self.finalized)
@@ -419,7 +460,13 @@ class Mapper:
         """≙ Mapper::addRangeMeasurement (Mapper.cpp:168-505).
 
         Async driver: enqueues one fused device step and returns without
-        blocking; host bookkeeping runs on lag-block readbacks (flush)."""
+        blocking; host bookkeeping runs on lag-block readbacks (flush).
+
+        Per-scan results accumulate in ``finalized`` — long-running
+        consumers should call ``drain_finalized()`` periodically (the
+        SlamWrapper map worker does); past ``finalized_cap`` undrained
+        records the oldest are evicted with their device-buffer thunks
+        nulled (counted in stats.finalized_evicted)."""
         with self._lock:
             return self._add_range_measurement(raw_scan, time)
 
@@ -444,7 +491,7 @@ class Mapper:
             self.is_new_value_set = False
             self.stats.scans_processed += 1
             self.stats.insertions += 1
-            self.finalized.append(Finalized(
+            self._finalize(Finalized(
                 time=time, pose=self.map_to_range_sensor.copy(),
                 merged=(lambda o=out.merged: o), raw=raw_scan, inserted=True))
             return True
@@ -461,7 +508,7 @@ class Mapper:
                 self.map_to_range_sensor_buffer.push(t_latest, self.map_to_range_sensor)
                 self.best_guess_buffer.push(t_latest, self.map_to_range_sensor_prev)
                 self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
-            self.finalized.append(Finalized(
+            self._finalize(Finalized(
                 time=time, pose=self.map_to_range_sensor.copy(),
                 merged=None, raw=raw_scan))
             return True
@@ -491,7 +538,7 @@ class Mapper:
             self.is_new_value_set = False
             self.init_time = time
             self.last_measurement_time = time
-            self.finalized.append(Finalized(
+            self._finalize(Finalized(
                 time=time, pose=self.map_to_range_sensor.copy(),
                 merged=None, raw=raw_scan))
             return True

@@ -14,6 +14,7 @@ Also hosts the odometry constraint builder
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -54,6 +55,76 @@ def overlap_clouds(a: PointCloud, b: PointCloud, voxel_size: float,
     in_a = hashgrid.occupied_voxel_lookup(grid_a, b.xyz, b.mask)
     return (compact(a.with_mask(in_b), capacity),
             compact(b.with_mask(in_a), capacity))
+
+
+# -- fused background-path programs (round 5) -------------------------------
+#
+# The loop-closure and odometry-constraint builders used to interleave
+# device dispatches with host gating (`int(count())`, `float(fitness)` ...)
+# — every gate a COLD synchronous small-array readback that serializes
+# behind whatever is queued on the chip (measured 750-800 ms per constraint
+# on the full system; the device work itself is ~50 ms).  Instead, evaluate
+# EVERYTHING for a candidate unconditionally in ONE fused program, pre-issue
+# async host copies of the small outputs, and apply all gates on host after
+# a single readback round.  ≙ the reference runs these stages on background
+# threads (SlamWrapper.cpp:1039-1103); here the discipline is dispatch-then-
+# read so the background path never blocks the device pipeline.
+
+
+@partial(jax.jit, static_argnames=("overlap_capacity", "refine_cfg",
+                                   "ransac_batch"))
+def _lc_candidate_eval(q_feat_xyz, q_feat_mask, q_feats,
+                       c_feat_xyz, c_feat_mask, c_feats,
+                       q_map: PointCloud, c_map: PointCloud, key,
+                       ransac_max_corr, checker_dist, checker_edge,
+                       overlap_voxel, info_max_dist,
+                       overlap_capacity: int, refine_cfg: ICPConfig,
+                       ransac_batch: int):
+    """One loop-closure candidate, fully evaluated on device:
+    RANSAC -> overlap restriction -> ICP refinement -> information matrix
+    (≙ PlaceRecognition.cpp:79-150 minus the host gates, which the caller
+    applies after one batched readback)."""
+    T, n_inliers, _, _, _ = register_features(
+        q_feat_xyz, q_feat_mask, q_feats, c_feat_xyz, c_feat_mask, c_feats,
+        key, max_correspondence_dist=ransac_max_corr,
+        checker_distance=checker_dist, checker_edge_length=checker_edge,
+        batch=ransac_batch)
+    q_ov, c_ov = overlap_clouds(q_map, c_map, overlap_voxel,
+                                overlap_capacity, T_a=T)
+    grid = hashgrid.build(c_ov, refine_cfg.max_correspondence_dist)
+    res = register(q_ov, grid, T, refine_cfg)
+    info, _ = information_matrix_from_point_clouds(
+        q_ov.xyz, q_ov.mask, grid, res.transform, info_max_dist)
+    return (T, n_inliers, q_ov.count(), c_ov.count(), res.transform,
+            res.match_ratio, info)
+
+
+@partial(jax.jit, static_argnames=("overlap_capacity", "refine_cfg",
+                                   "do_refine"))
+def _odo_edge_eval(parent_map: PointCloud, child_map: PointCloud,
+                   overlap_voxel, icp_max_dist,
+                   overlap_capacity: int, refine_cfg: ICPConfig,
+                   do_refine: bool):
+    """One parent->child odometry edge, fully evaluated on device:
+    overlap restriction -> optional ICP refinement -> information matrix
+    (≙ constraint_builders.cpp:43-90 minus the host gates)."""
+    p_ov, c_ov = overlap_clouds(parent_map, child_map, overlap_voxel,
+                                overlap_capacity)
+    grid = hashgrid.build(c_ov, icp_max_dist)
+    if do_refine:
+        T_corr = register(p_ov, grid, jnp.eye(4, dtype=jnp.float32),
+                          refine_cfg).transform
+    else:
+        T_corr = jnp.eye(4, dtype=jnp.float32)
+    info, _ = information_matrix_from_point_clouds(
+        p_ov.xyz, p_ov.mask, grid, T_corr, icp_max_dist)
+    return p_ov.count(), c_ov.count(), T_corr, info
+
+
+def _async_host_copies(outs) -> None:
+    for leaf in jax.tree.leaves(outs):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
 
 
 class PlaceRecognition:
@@ -123,50 +194,50 @@ class PlaceRecognition:
         query = submaps[query_idx]
         if query.features is None or query.feature_cloud is None:
             return []
-        out: List[Constraint] = []
+        # Phase 1 — dispatch: evaluate every candidate's full device
+        # pipeline (RANSAC -> overlap -> refinement ICP on overlap-
+        # restricted FULL-RESOLUTION map clouds, ≙ PlaceRecognition.cpp:
+        # 97-121 -> information matrix) unconditionally, pre-issuing the
+        # small-output host copies.  No host gate blocks between stages.
+        voxel_for_overlap = EXPANSION_FACTOR_OVERLAP * self._map_voxel_size()
+        evals = []
         for cand_idx in self.candidate_indices(submaps, adjacency, query_idx,
                                                active_idx, loop_closure_submaps):
             cand = submaps[cand_idx]
             key = jax.random.PRNGKey(int(self._rng.randint(0, 2**31 - 1)))
-            T, n_inliers, _, _, _ = register_features(
+            outs = _lc_candidate_eval(
                 query.feature_cloud.xyz, query.feature_cloud.mask, query.features,
                 cand.feature_cloud.xyz, cand.feature_cloud.mask, cand.features,
-                key,
-                max_correspondence_dist=pr.ransac_max_correspondence_dist,
-                checker_distance=pr.ransac_correspondence_checker_distance,
-                checker_edge_length=pr.ransac_correspondence_checker_edge_length,
-                batch=pr.ransac_batch_size,
-            )
+                query.map.cloud, cand.map.cloud, key,
+                jnp.float32(pr.ransac_max_correspondence_dist),
+                jnp.float32(pr.ransac_correspondence_checker_distance),
+                jnp.float32(pr.ransac_correspondence_checker_edge_length),
+                jnp.float32(voxel_for_overlap),
+                jnp.float32(pr.max_icp_correspondence_distance),
+                overlap_capacity=pr.overlap_point_capacity,
+                refine_cfg=self.refine_cfg,
+                ransac_batch=pr.ransac_batch_size)
+            _async_host_copies(outs)
+            evals.append((cand, outs))
+        # Phase 2 — one readback round, then all gates on host.
+        out: List[Constraint] = []
+        for cand, outs in evals:
+            T, n_inliers, n_q, n_c, T_ref, fitness, info = jax.device_get(outs)
             if int(n_inliers) < pr.ransac_min_corresondence_set_size:
                 continue
-            T_np = np.asarray(T)
             # Drift consistency: the correction this closure implies must be
             # within plausible drift bounds (both clouds live in map frame,
             # so T itself is the correction).
-            if not self.is_consistent(T_np):
+            if not self.is_consistent(np.asarray(T)):
                 continue
-            # ICP refinement on overlap-restricted FULL-RESOLUTION map clouds
-            # (≙ PlaceRecognition.cpp:97-121: getMapPointCloudCopy + overlap
-            # + registerClouds), not the sparse feature clouds — tighter
-            # transform and a meaningful fitness.
-            voxel_for_overlap = EXPANSION_FACTOR_OVERLAP * self._map_voxel_size()
-            q_ov, c_ov = overlap_clouds(
-                query.map.cloud, cand.map.cloud, voxel_for_overlap,
-                pr.overlap_point_capacity, T_a=jnp.asarray(T_np))
-            if int(q_ov.count()) < pr.ransac_min_corresondence_set_size or \
-               int(c_ov.count()) < pr.ransac_min_corresondence_set_size:
+            if int(n_q) < pr.ransac_min_corresondence_set_size or \
+               int(n_c) < pr.ransac_min_corresondence_set_size:
                 continue
-            cand_grid = hashgrid.build(c_ov, self.refine_cfg.max_correspondence_dist)
-            res = register(q_ov, cand_grid, jnp.asarray(T_np), self.refine_cfg)
-            fitness = float(res.match_ratio)
-            if fitness < pr.min_icp_refinement_fitness:
+            if float(fitness) < pr.min_icp_refinement_fitness:
                 continue
-            T_refined = np.asarray(res.transform)
+            T_refined = np.asarray(T_ref)
             if not self.is_consistent(T_refined):
                 continue
-            info, n_matched = information_matrix_from_point_clouds(
-                q_ov.xyz, q_ov.mask, cand_grid,
-                jnp.asarray(T_refined), pr.max_icp_correspondence_distance)
             # Relative constraint between submap frames:
             # T_refined corrects query's map-frame cloud onto cand's; convert
             # to a source(cand)->target(query) relative-pose measurement.
@@ -187,39 +258,30 @@ class PlaceRecognition:
         return out
 
 
-def build_odometry_constraint(parent: Submap, child: Submap,
-                              map_voxel_size: float,
-                              overlap_capacity: int = 16384,
-                              refine: bool = False) -> Constraint:
-    """One parent->child odometry edge with an overlap-computed information
-    matrix and optional ICP refinement.
-
-    ≙ buildOdometryConstraint / buildConstraint (reference
-    constraint_builders.cpp:33-90): overlap-restricted map clouds (voxel
-    20x map voxel), optional point-to-plane ICP run to convergence at
-    1.5x-map-voxel correspondence distance, information matrix via
-    GetInformationMatrixFromPointClouds on the overlap clouds.
-    """
+def _odo_edge_dispatch(parent: Submap, child: Submap, map_voxel_size: float,
+                       overlap_capacity: int, refine: bool):
+    """Dispatch one odometry edge's device evaluation (no blocking)."""
     v = map_voxel_size if map_voxel_size > 0 else VOXEL_SIZE_IF_MAP_VOXEL_ZERO
     icp_max_dist = EXPANSION_FACTOR_ICP_CORRESPONDENCE * v
-    voxel_overlap = EXPANSION_FACTOR_OVERLAP * v
-    p_ov, c_ov = overlap_clouds(parent.map.cloud, child.map.cloud,
-                                voxel_overlap, overlap_capacity)
+    cfg = ICPConfig(max_iterations=RUN_UNTIL_CONVERGENCE_ITERS,
+                    max_correspondence_dist=icp_max_dist,
+                    minimizer="point_to_plane")
+    outs = _odo_edge_eval(
+        parent.map.cloud, child.map.cloud,
+        jnp.float32(EXPANSION_FACTOR_OVERLAP * v), jnp.float32(icp_max_dist),
+        overlap_capacity=overlap_capacity, refine_cfg=cfg, do_refine=refine)
+    _async_host_copies(outs)
+    return outs
+
+
+def _odo_edge_finish(parent: Submap, child: Submap, outs) -> Constraint:
+    """Read one dispatched edge back and apply the host gates."""
+    n_p, n_c, T_corr_d, info_d = jax.device_get(outs)
     T_corr = np.eye(4, dtype=np.float64)
     info = np.eye(6, dtype=np.float32)
-    n_p, n_c = int(p_ov.count()), int(c_ov.count())
-    if n_p > 10 and n_c > 10:
-        c_grid = hashgrid.build(c_ov, icp_max_dist)
-        if refine:
-            cfg = ICPConfig(max_iterations=RUN_UNTIL_CONVERGENCE_ITERS,
-                            max_correspondence_dist=icp_max_dist,
-                            minimizer="point_to_plane")
-            res = register(p_ov, c_grid, jnp.eye(4), cfg)
-            T_corr = np.asarray(res.transform, np.float64)
-        info_j, _ = information_matrix_from_point_clouds(
-            p_ov.xyz, p_ov.mask, c_grid, jnp.asarray(T_corr, jnp.float32),
-            icp_max_dist)
-        info = np.asarray(info_j, np.float32)
+    if int(n_p) > 10 and int(n_c) > 10:
+        T_corr = np.asarray(T_corr_d, np.float64)
+        info = np.asarray(info_d, np.float32)
         # Guard: a degenerate overlap yields a singular matrix; keep the
         # edge solvable (the reference relies on Open3D's identity fallback).
         if not np.isfinite(info).all() or np.trace(info) < 1.0:
@@ -237,6 +299,27 @@ def build_odometry_constraint(parent: Submap, child: Submap,
     )
 
 
+def build_odometry_constraint(parent: Submap, child: Submap,
+                              map_voxel_size: float,
+                              overlap_capacity: int = 16384,
+                              refine: bool = False) -> Constraint:
+    """One parent->child odometry edge with an overlap-computed information
+    matrix and optional ICP refinement.
+
+    ≙ buildOdometryConstraint / buildConstraint (reference
+    constraint_builders.cpp:33-90): overlap-restricted map clouds (voxel
+    20x map voxel), optional point-to-plane ICP run to convergence at
+    1.5x-map-voxel correspondence distance, information matrix via
+    GetInformationMatrixFromPointClouds on the overlap clouds.  The device
+    pipeline runs as ONE fused program with a single readback (see the
+    dispatch-then-read note above _lc_candidate_eval).
+    """
+    return _odo_edge_finish(
+        parent, child,
+        _odo_edge_dispatch(parent, child, map_voxel_size, overlap_capacity,
+                           refine))
+
+
 def compute_odometry_constraints(submaps: List[Submap],
                                  finished_ids: List[int],
                                  map_voxel_size: float = 0.0,
@@ -246,9 +329,10 @@ def compute_odometry_constraints(submaps: List[Submap],
 
     ≙ computeOdometryConstraints (reference constraint_builders.cpp:92-119):
     one edge per finished submap from its parent, skipping roots and
-    duplicates (dedup happens in OptimizationProblem.insert).
+    duplicates (dedup happens in OptimizationProblem.insert).  All edges
+    dispatch first, then one readback round (axon-tunnel discipline).
     """
-    out = []
+    pairs = []
     for idx in finished_ids:
         sm = submaps[idx]
         if sm.parent_id == sm.submap_id:
@@ -260,6 +344,7 @@ def compute_odometry_constraints(submaps: List[Submap],
                 break
         if parent is None:
             continue
-        out.append(build_odometry_constraint(parent, sm, map_voxel_size,
-                                             overlap_capacity, refine))
-    return out
+        pairs.append((parent, sm,
+                      _odo_edge_dispatch(parent, sm, map_voxel_size,
+                                         overlap_capacity, refine)))
+    return [_odo_edge_finish(p, c, o) for p, c, o in pairs]

@@ -39,6 +39,7 @@ from ..utils import io as io_utils
 from ..utils.config import SlamParameters
 from ..utils.pointcloud import PointCloud
 from ..utils.timebuf import TransformInterpolationBuffer
+from ..utils.timing import GLOBAL_STATS as _STATS
 from . import motion_compensation
 from .mapper import Mapper
 from .odometry import LidarOdometry
@@ -199,14 +200,16 @@ class SlamWrapper:
             if not sc.finished_queue:
                 return
             finished = [idx for idx, _ in sc.finished_queue]
-            sc.compute_features_for_finished()
+            with _STATS.time("slam/features"):
+                sc.compute_features_for_finished()
             self._feature_compute_threads.append(threading.current_thread().name)
             mp = self.params.mapper
-            odo = compute_odometry_constraints(
-                sc.submaps, finished,
-                map_voxel_size=mp.map_builder.map_voxel_size,
-                overlap_capacity=mp.place_recognition.overlap_point_capacity,
-                refine=mp.mapper_localizer.is_refine_odometry_constraints_between_submaps)
+            with _STATS.time("slam/odom_constraints"):
+                odo = compute_odometry_constraints(
+                    sc.submaps, finished,
+                    map_voxel_size=mp.map_builder.map_voxel_size,
+                    overlap_capacity=mp.place_recognition.overlap_point_capacity,
+                    refine=mp.mapper_localizer.is_refine_odometry_constraints_between_submaps)
         with self._lc_lock:
             self.optimization.insert_odometry_constraints(odo)
 
@@ -219,11 +222,12 @@ class SlamWrapper:
             return
         new_constraints = []
         with self._lc_lock:
-            for idx, t in candidates:
-                cs = self.place_recognition.build_loop_closure_constraints(
-                    sc.submaps, sc.adjacency, idx, sc.active_idx,
-                    sc.loop_closure_submaps)
-                new_constraints.extend(cs)
+            with _STATS.time("slam/lc_build"):
+                for idx, t in candidates:
+                    cs = self.place_recognition.build_loop_closure_constraints(
+                        sc.submaps, sc.adjacency, idx, sc.active_idx,
+                        sc.loop_closure_submaps)
+                    new_constraints.extend(cs)
             if not new_constraints:
                 return
             self.optimization.insert_loop_closure_constraints(new_constraints)
@@ -233,13 +237,14 @@ class SlamWrapper:
             # Solve the pose graph.
             go = self.params.mapper.global_optimization
             node_poses = [s.pose for s in sc.submaps]
-            incs = self.optimization.solve(
-                node_poses,
-                loop_closure_preference=go.loop_closure_preference,
-                edge_prune_threshold=go.edge_prune_threshold,
-                reference_node=go.reference_node,
-                max_iterations=go.max_iterations,
-            )
+            with _STATS.time("slam/pose_graph_solve"):
+                incs = self.optimization.solve(
+                    node_poses,
+                    loop_closure_preference=go.loop_closure_preference,
+                    edge_prune_threshold=go.edge_prune_threshold,
+                    reference_node=go.reference_node,
+                    max_iterations=go.max_iterations,
+                )
             self._pending_increments = incs
             self.optimized_graph_available = True
 
@@ -254,8 +259,10 @@ class SlamWrapper:
         sc = self.mapper.submaps
         # Submap transforms mutate the active table: hand truth back from
         # the chained device state first.
-        self.mapper.materialize()
-        sc.apply_transforms(incs)
+        with _STATS.time("slam/lc_materialize"):
+            self.mapper.materialize()
+        with _STATS.time("slam/lc_apply_transforms"):
+            sc.apply_transforms(incs)
         # Correct the live pose by the active submap's increment.
         active_id = sc.active_submap.submap_id
         if active_id in incs:
@@ -302,20 +309,23 @@ class SlamWrapper:
                 except queue.Empty:
                     continue
                 scan = self._motion_compensate(item.scan)
-                self.mapper.add_range_measurement(scan, item.time)
+                with _STATS.time("slam/map_step"):
+                    self.mapper.add_range_measurement(scan, item.time)
                 # Readback-lag policy: blocks amortize the host round-trip
                 # only under back-pressure.  When the WHOLE intake is idle
                 # (nothing queued here or upstream at the odometry worker),
                 # flush now so the online pose latency stays one scan, not
                 # K; under saturation the lag pipeline stays intact.
                 if self.mapping_queue.empty() and self.odometry_queue.empty():
-                    self.mapper.flush()
+                    with _STATS.time("slam/idle_flush"):
+                        self.mapper.flush()
                 # Drain whatever flushed (possibly nothing this scan).
                 self._consume_finalized()
                 # Feature computation happens on the feature worker (async,
                 # ≙ SlamWrapper.cpp:1039-1047 std::async) — the map worker
                 # only applies finished pose-graph results.
-                self.check_if_optimized_graph_available()
+                with _STATS.time("slam/apply_optimized"):
+                    self.check_if_optimized_graph_available()
 
         def dense_worker():
             # ≙ denseMapWorker (SlamWrapper.cpp:1014-1037): consume registered
@@ -325,7 +335,9 @@ class SlamWrapper:
                     scan, pose = self.dense_queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                self.mapper.submaps.insert_dense(scan.transform(jnp.asarray(pose)))
+                with _STATS.time("slam/dense_insert"):
+                    self.mapper.submaps.insert_dense(
+                        scan.transform(jnp.asarray(pose)))
 
         def feature_worker():
             # ≙ the std::async feature hand-off (SlamWrapper.cpp:1039-1047):

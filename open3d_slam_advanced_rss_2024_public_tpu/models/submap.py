@@ -21,6 +21,7 @@ from collections import deque
 from typing import Dict, List, Optional, Set
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import voxel_map
@@ -28,6 +29,14 @@ from ..ops.voxel_map import VoxelMap
 from ..utils import se3
 from ..utils.config import MapperParameters
 from ..utils.pointcloud import PointCloud
+
+
+@jax.jit
+def _masked_centroid(xyz, mask, fallback):
+    w = mask.astype(jnp.float32)
+    n = w.sum()
+    s = (xyz * w[:, None]).sum(axis=0)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1.0), fallback)
 
 
 class AdjacencyMatrix:
@@ -87,11 +96,20 @@ class Submap:
     # — a running centroid would track the robot and defeat the
     # travel-distance rollover criterion.
     _center: Optional[np.ndarray] = None
+    # In-flight device centroid: compute_center dispatches the masked mean
+    # and pre-issues the host copy; center() resolves it lazily (a COLD
+    # synchronous 3-float readback over the axon tunnel costs tens of ms
+    # on the rollover path — by the next center() call the transfer has
+    # already landed).
+    _center_dev: Optional[object] = None
 
     def is_empty(self) -> bool:
         return self.n_scans == 0
 
     def center(self) -> np.ndarray:
+        if self._center is None and self._center_dev is not None:
+            self._center = np.asarray(self._center_dev, dtype=np.float64)
+            self._center_dev = None
         if self._center is not None:
             return self._center
         return self.pose[:3, 3].copy()
@@ -99,26 +117,31 @@ class Submap:
     def compute_center(self) -> None:
         """≙ Submap::computeSubmapCenter (Submap.cpp:282-286).
 
-        Device-side masked mean (3-float readback) — materializing the full
+        Device-side masked mean; the 3-float readback is pre-issued async
+        and resolved on the first center() call — materializing the full
         table to host just for a centroid would cost a map-sized transfer
         on every rollover."""
-        cloud = self.map.cloud
-        w = cloud.mask.astype(jnp.float32)
-        n = w.sum()
-        s = (cloud.xyz * w[:, None]).sum(axis=0)
-        c = jnp.where(n > 0, s / jnp.maximum(n, 1.0),
-                      jnp.asarray(self.pose[:3, 3]))
-        self._center = np.asarray(c, dtype=np.float64)
+        c = _masked_centroid(self.map.cloud.xyz, self.map.cloud.mask,
+                             jnp.asarray(self.pose[:3, 3], jnp.float32))
+        c.copy_to_host_async()
+        self._center = None
+        self._center_dev = c
 
     def transform(self, T: np.ndarray) -> None:
-        """Rigidly move every layer (≙ Submap::transform)."""
+        """Rigidly move every layer (≙ Submap::transform).
+
+        Device layers transform via async dispatches; pose/center update in
+        pure numpy — a synchronous 4x4 readback here would serialize the
+        loop-closure feedback behind everything queued on the chip."""
         Tj = jnp.asarray(T, jnp.float32)
         self.map = voxel_map.transform(self.map, Tj)
         if self.dense_map is not None:
             self.dense_map = voxel_map.transform(self.dense_map, Tj)
         if self.feature_cloud is not None:
             self.feature_cloud = self.feature_cloud.transform(Tj)
-        self.pose = np.asarray(Tj @ jnp.asarray(self.pose))
-        if self._center is not None:
-            Tn = np.asarray(T, dtype=np.float64)
-            self._center = Tn[:3, :3] @ self._center + Tn[:3, 3]
+        Tn = np.asarray(T, dtype=np.float64)
+        self.pose = (Tn @ self.pose.astype(np.float64)).astype(np.float32)
+        c = self.center() if (self._center is not None
+                              or self._center_dev is not None) else None
+        if c is not None:
+            self._center = Tn[:3, :3] @ c + Tn[:3, 3]

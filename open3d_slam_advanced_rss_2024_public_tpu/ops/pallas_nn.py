@@ -29,12 +29,14 @@ unspecified — callers gate with ``d2 <= max_dist**2`` exactly as they
 gate kd-tree misses.
 
 Numerics (measured on v5e):
-  * q·pᵀ uses the full 4-pass bf16 hi/lo decomposition (hi·hi + hi·lo +
-    lo·hi + lo·lo): Mosaic's single-pass bf16 rounding of f32 operands
-    perturbs d2 by O(10) at 30 m map scale, and even the 3-pass variant
-    leaves ~1e-2 m² from the dropped lo·lo term (bf16 mantissa is only
-    8 bits).  With de-meaning + 4 passes the selection error is bounded
-    by the packed-mantissa tie-break below.
+  * d2 is computed DIRECTLY on the VPU as the exact f32 per-coordinate
+    sweep ``sum_c (q_c - p_c)^2`` over the [TQ, TP] tile — no MXU matmul
+    and no bf16 decomposition.  (History/rationale: the q²+p²−2q·pᵀ MXU
+    formulation ran the 128x128 systolic array at ~6% utilization for
+    K=3 and required a 4-pass bf16 hi/lo decomposition to bound rounding
+    — bf16's 8-bit mantissa otherwise perturbs d2 by ~1e-2 m² at map
+    scale.  The direct VPU sweep is both exact and faster; see PROFILE.md
+    round-4 kernel findings.)
   * argmin uses the packed-min trick: the low 11 mantissa bits of the
     (+1-biased) distance hold the lane index, so one f32 min yields value
     and index together.  Exact d2 is recomputed outside from the matched

@@ -122,3 +122,43 @@ def test_icp_converged_flag_and_counter():
     res = register_clouds(ref, ref, jnp.eye(4), ICPConfig(max_iterations=15))
     assert bool(res.converged)
     assert int(res.iterations) < 15
+
+
+def test_radix_select_matches_sort():
+    """ADVICE r4: the TPU radix-select quantile (_kth_smallest_nonneg) must
+    stay bit-exact vs jnp.sort on EVERY backend — production only selects
+    it off-CPU, so without this test the correctness-critical path the
+    trimmed/median outlier filters use every ICP iteration had zero CI
+    coverage.  Covers +inf tails, exact zeros, duplicates, and batches."""
+    import numpy as np
+
+    from open3d_slam_advanced_rss_2024_public_tpu.ops.registration.outliers import (
+        _kth_smallest_nonneg)
+
+    rng = np.random.RandomState(3)
+    cases = []
+    d0 = rng.exponential(1.0, size=(257,)).astype(np.float32)
+    d0[::7] = np.inf
+    d0[3] = 0.0
+    cases.append(d0)
+    d1 = np.zeros((64,), np.float32)  # all zeros
+    cases.append(d1)
+    d2 = np.full((33,), np.inf, np.float32)  # all inf
+    d2[5] = 0.25
+    cases.append(d2)
+    d3 = np.repeat(rng.rand(16).astype(np.float32), 8)  # heavy duplicates
+    cases.append(d3)
+    for d in cases:
+        for k in (0, 1, len(d) // 2, len(d) - 1):
+            got = np.asarray(_kth_smallest_nonneg(jnp.asarray(d),
+                                                  jnp.int32(k)))
+            want = np.sort(d)[k]
+            assert got.tobytes() == np.float32(want).tobytes(), (
+                f"radix select diverged at k={k}: {got} vs {want}")
+    # Batched leading axis.
+    db = rng.exponential(1.0, size=(4, 128)).astype(np.float32)
+    db[:, ::11] = np.inf
+    ks = jnp.asarray([0, 5, 64, 127], jnp.int32)
+    got = np.asarray(_kth_smallest_nonneg(jnp.asarray(db), ks))
+    want = np.sort(db, axis=-1)[np.arange(4), np.asarray(ks)]
+    assert got.tobytes() == want.astype(np.float32).tobytes()
