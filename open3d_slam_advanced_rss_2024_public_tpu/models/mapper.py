@@ -129,6 +129,10 @@ class _InflightBlock:
 
     items: List[_QueuedScan]            # the real scans (padding excluded)
     outs: pipeline.StepOutput           # stacked [K, ...] device outputs
+    # Set when a LATER-processed rollover made this pre-rollover block's
+    # device fusion land in the closed submap: its records re-fuse into
+    # the fresh chain on readback (order-independent weighted means).
+    tail: bool = False
 
 
 @dataclasses.dataclass
@@ -318,27 +322,54 @@ class Mapper:
         self._inflight.append(_InflightBlock(items=items, outs=outs))
 
     def _process_ready(self, keep: int) -> None:
-        """Process dispatched blocks, keeping up to ``keep`` in flight (a
-        kept block's readback overlaps the next block's execution).  A
-        rollover forces draining the whole chain (see _process_block)."""
-        rolled = False
-        while len(self._inflight) > keep or (rolled and self._inflight):
-            rolled = self._process_block(self._inflight.popleft(), rolled)
-        if rolled:
-            # The fresh active submap was host-assembled (overlap replay /
-            # stale-tail inserts); rebuild the chained state from it.  The
-            # closed submap keeps the chain-end table.
-            with _STATS.time("mapper/rollover_rebuild"):
-                self._state = pipeline.make_state(
-                    self.submaps.active_submap.map, self.map_to_range_sensor,
-                    self.last_insertion_pose)
+        """Process dispatched blocks in order, keeping up to ``keep`` in
+        flight (a kept block's readback overlaps the next block's
+        execution).  A rollover rebuilds the chain immediately and tags
+        the still-inflight blocks as tail — NO draining (round 5; the old
+        drain-on-rollover stalled the worker behind every queued
+        background program)."""
+        while len(self._inflight) > keep:
+            if self._process_block(self._inflight.popleft(), False):
+                self._rebuild_after_rollover()
+
+    def _rebuild_after_rollover(self) -> None:
+        """A processed block rolled the submap over: the fresh active
+        submap was host-assembled (overlap replay + same-block tail
+        inserts); rebuild the chained state from it NOW so newly
+        dispatched scans fuse into the fresh table, and tag every block
+        still in flight as tail — their records re-fuse into the chain
+        asynchronously when their readbacks land (insertion into weighted
+        voxel means is order-independent).  The closed submap keeps the
+        pre-rollover chain-end table.
+
+        The rebuilt chain pose must be the pose estimate of the LAST
+        DISPATCHED scan, not the just-processed record's: blocks still in
+        flight carry newer scans whose refined poses haven't read back
+        yet.  Compose their odometry motion deltas onto the current pose
+        (pure odometry extrapolation across <= inflight scans — the next
+        dispatched scan's on-device initial guess continues from there
+        and ICP re-anchors it)."""
+        with _STATS.time("mapper/rollover_rebuild"):
+            chain_pose = self.map_to_range_sensor.astype(np.float64)
+            for blk in self._inflight:
+                for q in blk.items:
+                    chain_pose = chain_pose @ q.motion.astype(np.float64)
+            self._state = pipeline.make_state(
+                self.submaps.active_submap.map,
+                chain_pose.astype(np.float32), self.last_insertion_pose)
+        for blk in self._inflight:
+            blk.tail = True
 
     def _process_block(self, blk: _InflightBlock, rolled: bool) -> bool:
         """Host bookkeeping for one dispatched block: pose/trajectory
-        buffers, fitness stats, submap rollover, carving.  Returns the
-        updated ``rolled`` flag (True once any record triggered a submap
-        rollover — every later record's device fusion landed in the closed
-        submap's table, so those are host-inserted into the fresh one)."""
+        buffers, fitness stats, submap rollover, carving.  Returns True if
+        any record triggered a submap rollover (records after it in the
+        SAME block route to the tail path; the caller rebuilds the chain
+        and tags later in-flight blocks — see _rebuild_after_rollover).
+        For a block tagged ``tail`` every record re-fuses into the chain
+        (or the active submap's table when the chain is down)."""
+        new_roll = False
+        rolled = rolled or blk.tail
         with _STATS.time("mapper/block_readback"):
             vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
                                    blk.outs.inserted, blk.outs.map_count,
@@ -390,6 +421,7 @@ class Mapper:
                             active_count=int(mcounts[k]))
                     if changed:
                         rolled = True
+                        new_roll = True
                     elif sc.active_submap.map is not self._state.map:
                         # Carving replaced the table: adopt it as the new
                         # chained state (carve ran on the chain-end table,
@@ -401,10 +433,37 @@ class Mapper:
                 else:
                     # Records behind a rollover: device fusion landed in
                     # the CLOSED submap (kept — same spirit as the
-                    # reference's scan-overlap); host-insert them into the
-                    # fresh active submap.
+                    # reference's scan-overlap); re-fuse them into the
+                    # fresh active submap with FULL lifecycle checks minus
+                    # the point-budget gate (the device map_count refers
+                    # to the closed table; the budget re-checks on the
+                    # next normal block).
                     with _STATS.time("mapper/rollover_tail_insert"):
-                        sc.insert_scan(merged_thunk, pose, q.time)
+                        if blk.tail and not new_roll:
+                            # Chain already rebuilt onto the fresh submap:
+                            # fuse into the LIVE chain (order-independent
+                            # weighted means) + run the lifecycle.
+                            cloud = merged_thunk()
+                            self._state = pipeline.chain_insert(
+                                self._state, cloud,
+                                self.pipe_cfg.map_voxel_size)
+                            sc.active_submap.map = self._state.map
+                            changed = sc.post_insert_update(
+                                cloud, pose, q.time, active_count=0)
+                            if changed:
+                                new_roll = True
+                            elif sc.active_submap.map is not self._state.map:
+                                self._state = pipeline.MapState(
+                                    map=sc.active_submap.map,
+                                    pose=self._state.pose,
+                                    last_insertion_pose=(
+                                        self._state.last_insertion_pose))
+                        else:
+                            # A rollover happened earlier in THIS block
+                            # (chain rebuild pending at the caller) —
+                            # host-insert into the fresh submap's table
+                            # with full lifecycle.
+                            sc.insert_scan(merged_thunk, pose, q.time)
                 self.last_insertion_pose = pose.copy()
                 self.stats.insertions += 1
             self._finalize(Finalized(
@@ -425,15 +484,43 @@ class Mapper:
                     keep_fraction=mb.overflow_evict_keep_fraction),
                 pose=self._state.pose,
                 last_insertion_pose=self._state.last_insertion_pose)
-        return rolled
+        return new_roll
 
     def flush(self) -> None:
         """Dispatch any partial block and run the host bookkeeping for
         every in-flight block (trajectory buffers, fitness stats, submap
-        rollover, carving)."""
+        rollover, carving).  BLOCKS until the chain drains."""
         with self._lock:
             self._dispatch_block()
             self._process_ready(keep=0)
+
+    def poll(self) -> None:
+        """Non-blocking drain for the online idle path: process every
+        in-flight block whose readback has ALREADY landed, and dispatch a
+        partial block only when the device pipeline is empty.
+
+        The map worker used to hard-flush whenever the intake queues
+        looked empty; under a bursty feed the 2-slot queues oscillate
+        empty on host-scheduling jitter, so the worker repeatedly drained
+        the whole chain (measured 19 x ~235 ms stalls per 100-scan run)
+        and padded partial blocks wasted device time.  Polling keeps pose
+        freshness — once the stream truly stops, the in-flight blocks
+        complete, the partial block dispatches, and the next poll reads
+        it — without ever blocking on the device queue."""
+        with self._lock:
+            if self._queue and not self._inflight:
+                # Device pipeline idle: flush the partial block now (its
+                # padding costs nothing that would otherwise run).
+                self._dispatch_block()
+            while self._inflight:
+                outs = self._inflight[0].outs
+                try:
+                    if not outs.pose.is_ready():
+                        break
+                except AttributeError:
+                    pass  # backends without is_ready: process (blocks)
+                if self._process_block(self._inflight.popleft(), False):
+                    self._rebuild_after_rollover()
 
     def _finalize(self, rec: Finalized) -> None:
         """Append a per-scan record for drain_finalized, evicting past the
@@ -558,9 +645,11 @@ class Mapper:
         self.stats.scans_processed += 1
         if len(self._queue) >= self.readback_lag:
             self._dispatch_block()
-            # Keep one block in flight: its pre-issued readback lands while
-            # the next block executes.
-            self._process_ready(keep=1)
+            # Keep two blocks in flight: readbacks land while later blocks
+            # (and interleaved background programs — LC/constraint evals
+            # share the device queue) execute, so the worker only blocks
+            # when the device falls a full two blocks behind.
+            self._process_ready(keep=2)
         return True
 
     def get_assembled_map(self) -> PointCloud:

@@ -207,6 +207,23 @@ def _step(state: MapState, raw_scan: PointCloud, estimate_T: Array,
                                  dropped=new_map.dropped)
 
 
+@jax.jit
+def chain_insert(state: MapState, cloud_map_frame: PointCloud,
+                 voxel_size) -> MapState:
+    """Fuse an already-registered map-frame cloud into the chained state's
+    table without touching the pose chain.
+
+    Used to re-fuse post-rollover tail records into the FRESH submap's
+    chain as their readbacks land: voxel fusion is an order-independent
+    weighted mean, so these inserts mix safely with newer scan steps
+    already dispatched on the chain (models/mapper._process_block)."""
+    return MapState(
+        map=voxel_map.insert(state.map, cloud_map_frame, voxel_size),
+        pose=state.pose,
+        last_insertion_pose=state.last_insertion_pose,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def mapper_step_block(state: MapState, scans: PointCloud, odom_deltas: Array,
                       insert_enables: Array,

@@ -49,10 +49,10 @@ def overlap_clouds(a: PointCloud, b: PointCloud, voxel_size: float,
     PlaceRecognition.cpp:100-106).
     """
     a_probe = a if T_a is None else a.transform(T_a)
-    grid_b = hashgrid.build(b, voxel_size)
-    in_b = hashgrid.occupied_voxel_lookup(grid_b, a_probe.xyz, a_probe.mask)
-    grid_a = hashgrid.build(a_probe, voxel_size)
-    in_a = hashgrid.occupied_voxel_lookup(grid_a, b.xyz, b.mask)
+    in_b = hashgrid.occupancy_lookup(b.xyz, b.mask, a_probe.xyz, a_probe.mask,
+                                     voxel_size)
+    in_a = hashgrid.occupancy_lookup(a_probe.xyz, a_probe.mask, b.xyz, b.mask,
+                                     voxel_size)
     return (compact(a.with_mask(in_b), capacity),
             compact(b.with_mask(in_a), capacity))
 
@@ -91,10 +91,13 @@ def _lc_candidate_eval(q_feat_xyz, q_feat_mask, q_feats,
         batch=ransac_batch)
     q_ov, c_ov = overlap_clouds(q_map, c_map, overlap_voxel,
                                 overlap_capacity, T_a=T)
-    grid = hashgrid.build(c_ov, refine_cfg.max_correspondence_dist)
+    # Passthrough (CSR-free) grid: the bruteforce matcher in refine_cfg and
+    # the bruteforce info matcher only read points/normals.
+    grid = hashgrid.passthrough(c_ov, refine_cfg.max_correspondence_dist)
     res = register(q_ov, grid, T, refine_cfg)
     info, _ = information_matrix_from_point_clouds(
-        q_ov.xyz, q_ov.mask, grid, res.transform, info_max_dist)
+        q_ov.xyz, q_ov.mask, grid, res.transform, info_max_dist,
+        matcher="bruteforce")
     return (T, n_inliers, q_ov.count(), c_ov.count(), res.transform,
             res.match_ratio, info)
 
@@ -110,14 +113,15 @@ def _odo_edge_eval(parent_map: PointCloud, child_map: PointCloud,
     (≙ constraint_builders.cpp:43-90 minus the host gates)."""
     p_ov, c_ov = overlap_clouds(parent_map, child_map, overlap_voxel,
                                 overlap_capacity)
-    grid = hashgrid.build(c_ov, icp_max_dist)
+    grid = hashgrid.passthrough(c_ov, icp_max_dist)
     if do_refine:
         T_corr = register(p_ov, grid, jnp.eye(4, dtype=jnp.float32),
                           refine_cfg).transform
     else:
         T_corr = jnp.eye(4, dtype=jnp.float32)
     info, _ = information_matrix_from_point_clouds(
-        p_ov.xyz, p_ov.mask, grid, T_corr, icp_max_dist)
+        p_ov.xyz, p_ov.mask, grid, T_corr, icp_max_dist,
+        matcher="bruteforce")
     return p_ov.count(), c_ov.count(), T_corr, info
 
 

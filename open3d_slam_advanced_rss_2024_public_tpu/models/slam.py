@@ -307,18 +307,24 @@ class SlamWrapper:
                 try:
                     item = self.mapping_queue.get(timeout=0.05)
                 except queue.Empty:
+                    # Keep draining readbacks that land while the stream is
+                    # quiet (non-blocking) so the pose stays fresh.
+                    with _STATS.time("slam/idle_poll"):
+                        self.mapper.poll()
+                    self._consume_finalized()
                     continue
                 scan = self._motion_compensate(item.scan)
                 with _STATS.time("slam/map_step"):
                     self.mapper.add_range_measurement(scan, item.time)
                 # Readback-lag policy: blocks amortize the host round-trip
-                # only under back-pressure.  When the WHOLE intake is idle
-                # (nothing queued here or upstream at the odometry worker),
-                # flush now so the online pose latency stays one scan, not
-                # K; under saturation the lag pipeline stays intact.
+                # under back-pressure; when the intake looks idle, POLL
+                # (process only blocks whose readbacks already landed)
+                # instead of hard-flushing — bursty feeds empty the 2-slot
+                # queues on scheduling jitter, and a blocking drain here
+                # serialized the whole pipeline (round-5 profile).
                 if self.mapping_queue.empty() and self.odometry_queue.empty():
-                    with _STATS.time("slam/idle_flush"):
-                        self.mapper.flush()
+                    with _STATS.time("slam/idle_poll"):
+                        self.mapper.poll()
                 # Drain whatever flushed (possibly nothing this scan).
                 self._consume_finalized()
                 # Feature computation happens on the feature worker (async,

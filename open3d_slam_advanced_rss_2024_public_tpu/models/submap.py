@@ -108,8 +108,19 @@ class Submap:
 
     def center(self) -> np.ndarray:
         if self._center is None and self._center_dev is not None:
-            self._center = np.asarray(self._center_dev, dtype=np.float64)
-            self._center_dev = None
+            try:
+                ready = self._center_dev.is_ready()
+            except AttributeError:
+                ready = True
+            if ready:
+                self._center = np.asarray(self._center_dev, dtype=np.float64)
+                self._center_dev = None
+            else:
+                # Still riding the device queue: return the creation-origin
+                # fallback rather than blocking the map worker behind every
+                # queued program (proximity gating tolerates one stale
+                # read; the exact centroid adopts on the next call).
+                return self.pose[:3, 3].copy()
         if self._center is not None:
             return self._center
         return self.pose[:3, 3].copy()
@@ -140,8 +151,13 @@ class Submap:
         if self.feature_cloud is not None:
             self.feature_cloud = self.feature_cloud.transform(Tj)
         Tn = np.asarray(T, dtype=np.float64)
+        if self._center_dev is not None:
+            # Resolve a pending centroid BEFORE moving the frame (blocking
+            # here is fine: transform is the rare loop-closure feedback
+            # path, and adopting the creation-origin fallback would freeze
+            # the wrong center).
+            self._center = np.asarray(self._center_dev, dtype=np.float64)
+            self._center_dev = None
         self.pose = (Tn @ self.pose.astype(np.float64)).astype(np.float32)
-        c = self.center() if (self._center is not None
-                              or self._center_dev is not None) else None
-        if c is not None:
-            self._center = Tn[:3, :3] @ c + Tn[:3, 3]
+        if self._center is not None:
+            self._center = Tn[:3, :3] @ self._center + Tn[:3, 3]

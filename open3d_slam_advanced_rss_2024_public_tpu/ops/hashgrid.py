@@ -316,3 +316,55 @@ def occupied_voxel_lookup(grid: HashGrid, query_xyz: Array, query_mask: Array,
     same_voxel = jnp.all(ckey == qkey[:, None, :], axis=-1)
     hit = jnp.any(jnp.logical_and(in_bucket, same_voxel), axis=-1)
     return jnp.logical_and(query_mask, hit)
+
+
+def _mix32(h: Array) -> Array:
+    """murmur3 finalizer (same decorrelation as ops/voxel_map)."""
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def occupancy_lookup(ref_xyz: Array, ref_mask: Array, query_xyz: Array,
+                     query_mask: Array, cell, table_size: int = 1 << 15) -> Array:
+    """True when a query point's ``cell``-voxel contains any reference point
+    — the bandwidth-light occupancy test for large clouds.
+
+    Where ``occupied_voxel_lookup`` gathers a [N, max_per_bucket, 3]
+    candidate window per query (~50 MB of random HBM traffic at 262k
+    lanes, measured ~64 ms on v5e), this packs each reference voxel into
+    an exact 30-bit key relative to the reference centroid (the
+    ops/voxel_map packing), scatter-mins the keys into a hash table, and
+    answers each query with ONE int32 gather + key equality — ~30x less
+    traffic.  Two distinct voxels colliding on a slot keep only the
+    smaller key (scatter-min), so a colliding voxel can read as
+    unoccupied: strictly conservative for overlap restriction, and rare
+    when ``table_size`` ≳ 4x the occupied-voxel count.  Queries beyond the
+    ±512-cell addressable cube also read unoccupied.
+    """
+    c = jnp.asarray(cell, jnp.float32)
+    rkey = voxel_key(ref_xyz, c)
+    nv = jnp.maximum(jnp.sum(ref_mask.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(jnp.where(ref_mask[:, None], ref_xyz, 0.0), axis=0) / nv
+    origin = voxel_key(centroid, c)
+    EMPTY = jnp.int32(0x7FFFFFFF)
+
+    def pack(key, ok):
+        rel = key - origin + 512
+        in_range = jnp.logical_and(
+            ok, jnp.all(jnp.logical_and(rel >= 0, rel < 1024), axis=-1))
+        pk = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
+        return jnp.where(in_range, pk, EMPTY), in_range
+
+    rpk, r_ok = pack(rkey, ref_mask)
+    h = (_mix32(rpk) & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    table = jnp.full((table_size,), EMPTY, jnp.int32)
+    table = table.at[jnp.where(r_ok, h, table_size)].min(rpk, mode="drop")
+
+    qpk, q_ok = pack(voxel_key(query_xyz, c), query_mask)
+    qh = (_mix32(qpk) & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    return jnp.logical_and(q_ok, table[qh] == qpk)

@@ -144,7 +144,10 @@ def radius_moments(xyz: Array, mask: Array, radius, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (nq * TQ, _NF), jnp.float32,
-            vma=getattr(jax.typeof(q), "vma", frozenset()) or None),
+            # Propagate the input's varying-manual-axes verbatim: under
+            # shard_map with check_vma an EMPTY vma (replicated operand)
+            # is valid and must be passed as frozenset(), not None.
+            vma=getattr(jax.typeof(q), "vma", frozenset())),
         interpret=interpret,
     )(tile_count, tile_list, q, p_t, feat, r2)
 

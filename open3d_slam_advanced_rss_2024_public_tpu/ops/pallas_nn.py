@@ -147,8 +147,10 @@ def _nn_block(q: Array, q_valid: Array, p_t: Array, max_dist, interpret: bool):
     # Inside shard_map the outputs vary over the same mesh axes as the
     # inputs; shard_map's vma typing requires that stated explicitly.
     # (None outside shard_map — the default single-chip typing.)
+    # An EMPTY union (both operands replicated) is valid and must stay
+    # frozenset(), not None — check_vma rejects None.
     vma = (getattr(jax.typeof(q), "vma", frozenset())
-           | getattr(jax.typeof(p_t), "vma", frozenset())) or None
+           | getattr(jax.typeof(p_t), "vma", frozenset()))
     return pl.pallas_call(
         _nn_kernel,
         grid=(nq,),
