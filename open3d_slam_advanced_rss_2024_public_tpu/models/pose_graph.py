@@ -212,11 +212,13 @@ def _solve_impl(graph: PoseGraphArrays, reference_node: Array,
         lam = jnp.where(improved, lam * 0.7, lam * 2.5)
         # Early exit (the reference's Open3D LM also stops on relative
         # cost decrease): converged when an ACCEPTED step improves by
-        # < 1e-6 relative, or the damping has grown hopeless.
+        # < 1e-6 relative (absolute floor so an already-consistent graph
+        # with cost ~0 exits immediately), or damping has grown hopeless.
         converged = jnp.logical_or(
-            jnp.logical_and(improved,
-                            prev_cost - new_cost <= 1e-6 * (prev_cost + 1e-12)),
-            lam > 1e8)
+            jnp.logical_and(
+                improved,
+                prev_cost - new_cost <= 1e-6 * jnp.maximum(prev_cost, 1e-3)),
+            jnp.logical_or(best_cost < 1e-9, lam > 1e8))
         return deltas, lam, best_cost, it + 1, converged
 
     def cond(carry):
@@ -263,12 +265,19 @@ def solve(graph: PoseGraphArrays, reference_node: Array,
 
 _NODE_F = 16           # 4x4 pose
 _EDGE_F = 55           # src, dst, uncertain, 16 T, 36 info
+_HDR = 5               # n_nodes, n_edges, reference_node, preference, prune
 
 
 def pack_graph(node_poses: List[np.ndarray], constraints: List[Constraint],
                max_nodes: int, max_edges: int,
-               edge_block: Optional[np.ndarray] = None) -> np.ndarray:
-    """Flatten the graph to one f32 buffer: [2 header | nodes | edges].
+               edge_block: Optional[np.ndarray] = None,
+               reference_node: int = 0,
+               loop_closure_preference: float = 2.0,
+               edge_prune_threshold: float = 0.2) -> np.ndarray:
+    """Flatten the graph AND the solve scalars to one f32 buffer:
+    [5 header | nodes | edges] — every extra host->device scalar is its
+    own ~ms put over the axon tunnel, so the whole solve input ships as
+    ONE transfer.
 
     ``edge_block``: a previously packed edge section (the constraint set
     changes far less often than the node poses — callers cache it)."""
@@ -277,14 +286,18 @@ def pack_graph(node_poses: List[np.ndarray], constraints: List[Constraint],
         raise ValueError(
             f"pose graph exceeds capacity: {n}/{max_nodes} nodes, "
             f"{e}/{max_edges} edges")
-    buf = np.zeros(2 + max_nodes * _NODE_F + max_edges * _EDGE_F, np.float32)
+    buf = np.zeros(_HDR + max_nodes * _NODE_F + max_edges * _EDGE_F,
+                   np.float32)
     buf[0] = n
     buf[1] = e
-    nodes = buf[2:2 + max_nodes * _NODE_F].reshape(max_nodes, 4, 4)
+    buf[2] = reference_node
+    buf[3] = loop_closure_preference
+    buf[4] = edge_prune_threshold
+    nodes = buf[_HDR:_HDR + max_nodes * _NODE_F].reshape(max_nodes, 4, 4)
     nodes[:] = np.eye(4, dtype=np.float32)
     if n:
         nodes[:n] = np.stack(node_poses).astype(np.float32)
-    edges = buf[2 + max_nodes * _NODE_F:].reshape(max_edges, _EDGE_F)
+    edges = buf[_HDR + max_nodes * _NODE_F:].reshape(max_edges, _EDGE_F)
     if edge_block is not None:
         edges[:] = edge_block
     else:
@@ -306,8 +319,8 @@ def unpack_graph(buf: Array, max_nodes: int, max_edges: int) -> PoseGraphArrays:
     """Device-side unpack of a pack_graph buffer (runs inside the jit)."""
     n = buf[0].astype(jnp.int32)
     e = buf[1].astype(jnp.int32)
-    nodes = buf[2:2 + max_nodes * _NODE_F].reshape(max_nodes, 4, 4)
-    edges = buf[2 + max_nodes * _NODE_F:].reshape(max_edges, _EDGE_F)
+    nodes = buf[_HDR:_HDR + max_nodes * _NODE_F].reshape(max_nodes, 4, 4)
+    edges = buf[_HDR + max_nodes * _NODE_F:].reshape(max_edges, _EDGE_F)
     return PoseGraphArrays(
         node_poses=nodes,
         node_mask=jnp.arange(max_nodes) < n,
@@ -321,13 +334,13 @@ def unpack_graph(buf: Array, max_nodes: int, max_edges: int) -> PoseGraphArrays:
 
 
 @partial(jax.jit, static_argnames=("max_nodes", "max_edges", "max_iterations"))
-def solve_packed(buf: Array, reference_node: Array,
-                 loop_closure_preference, edge_prune_threshold,
-                 max_nodes: int, max_edges: int, max_iterations: int = 30):
-    """solve() over a pack_graph buffer: one transfer, one program."""
+def solve_packed(buf: Array, max_nodes: int, max_edges: int,
+                 max_iterations: int = 30):
+    """solve() over a pack_graph buffer: one transfer, one program (the
+    reference node / preference / prune scalars ride the header)."""
     graph = unpack_graph(buf, max_nodes, max_edges)
-    return _solve_impl(graph, reference_node, loop_closure_preference,
-                       edge_prune_threshold, max_iterations)
+    return _solve_impl(graph, buf[2].astype(jnp.int32), buf[3], buf[4],
+                       max_iterations)
 
 
 class OptimizationProblem:
@@ -378,42 +391,59 @@ class OptimizationProblem:
                             self.odometry_constraints + self.loop_closure_constraints,
                             self.max_nodes, self.max_edges)
 
+    def solve_async(self, node_poses: List[np.ndarray],
+                    loop_closure_preference: float = 2.0,
+                    edge_prune_threshold: float = 0.2,
+                    reference_node: int = 0,
+                    max_iterations: int = 30):
+        """Dispatch the solve and return a handle; ``resolve_async``
+        blocks only on the (pre-issued) readback.
+
+        The device solve itself is ms-scale, but a synchronous readback of
+        a JUST-computed result pays the tunnel's ambient RPC latency
+        (25-75 ms measured).  The SLAM runtime therefore dispatches here
+        and resolves on the NEXT worker tick, by which time the async
+        copies have landed — the same readback-lag discipline as the
+        Mapper's pose blocks."""
+        self.node_poses = [np.asarray(p, np.float32) for p in node_poses]
+        cs = self.odometry_constraints + self.loop_closure_constraints
+        buf = pack_graph(self.node_poses, cs, self.max_nodes, self.max_edges,
+                         edge_block=self._edge_block,
+                         reference_node=reference_node,
+                         loop_closure_preference=loop_closure_preference,
+                         edge_prune_threshold=edge_prune_threshold)
+        if self._edge_block is None:
+            self._edge_block = buf[_HDR + self.max_nodes * _NODE_F:].reshape(
+                self.max_edges, _EDGE_F).copy()
+        X, s, cost = solve_packed(
+            jnp.asarray(buf), max_nodes=self.max_nodes,
+            max_edges=self.max_edges, max_iterations=max_iterations)
+        X.copy_to_host_async()
+        s.copy_to_host_async()
+        return (X, s, list(self.node_poses))
+
+    def resolve_async(self, handle) -> Dict[int, np.ndarray]:
+        """Read a solve_async handle back into per-node increments
+        {node_id: dT} with dT = X_opt · X_init^-1."""
+        X_dev, s_dev, poses0 = handle
+        X = np.asarray(X_dev)
+        self.last_switch_weights = np.asarray(s_dev)
+        increments = {}
+        for i, X0 in enumerate(poses0):
+            increments[i] = (X[i] @ np.linalg.inv(X0)).astype(np.float32)
+        self.is_ready = True
+        return increments
+
     def solve(self, node_poses: List[np.ndarray],
               loop_closure_preference: float = 2.0,
               edge_prune_threshold: float = 0.2,
               reference_node: int = 0,
               max_iterations: int = 30) -> Dict[int, np.ndarray]:
-        """Solve and return per-node transform increments
-        {node_id: dT} with dT = X_opt · X_init^-1.
-
-        Host-visible fast path: pack the whole graph into ONE f32 buffer
-        (edge section cached between solves), one host->device transfer,
-        one early-exit LM program, pre-issued async readback."""
-        self.node_poses = [np.asarray(p, np.float32) for p in node_poses]
-        cs = self.odometry_constraints + self.loop_closure_constraints
-        buf = pack_graph(self.node_poses, cs, self.max_nodes, self.max_edges,
-                         edge_block=self._edge_block)
-        if self._edge_block is None:
-            self._edge_block = buf[2 + self.max_nodes * _NODE_F:].reshape(
-                self.max_edges, _EDGE_F).copy()
-        X, s, cost = solve_packed(
-            jnp.asarray(buf), jnp.int32(reference_node),
-            jnp.float32(loop_closure_preference),
-            jnp.float32(edge_prune_threshold),
-            max_nodes=self.max_nodes, max_edges=self.max_edges,
-            max_iterations=max_iterations)
-        # Pre-issue async host copies: a cold synchronous small-array
-        # readback over the device tunnel costs tens of ms (see
-        # PROFILE.md round-4 environment table).
-        X.copy_to_host_async()
-        s.copy_to_host_async()
-        X = np.asarray(X)
-        self.last_switch_weights = np.asarray(s)
-        increments = {}
-        for i, X0 in enumerate(self.node_poses):
-            increments[i] = (X[i] @ np.linalg.inv(X0)).astype(np.float32)
-        self.is_ready = True
-        return increments
+        """Synchronous solve: dispatch + immediate readback.  Prefer
+        solve_async/resolve_async on latency-sensitive paths."""
+        return self.resolve_async(self.solve_async(
+            node_poses, loop_closure_preference, edge_prune_threshold,
+            reference_node, max_iterations))
 
     def pruned_loop_closures(self, edge_prune_threshold: float = 0.2) -> List[int]:
         if self.last_switch_weights is None:

@@ -234,18 +234,21 @@ class SlamWrapper:
             for c in new_constraints:
                 sc.mark_loop_closure_submaps([c.source_id, c.target_id])
             self.loop_closure_count += len(new_constraints)
-            # Solve the pose graph.
+            # Dispatch the pose-graph solve; the applier resolves the
+            # pre-issued readback on its next tick (readback-lag
+            # discipline — a fresh-result sync read pays 25-75 ms of
+            # tunnel latency the system never needs to see).
             go = self.params.mapper.global_optimization
             node_poses = [s.pose for s in sc.submaps]
             with _STATS.time("slam/pose_graph_solve"):
-                incs = self.optimization.solve(
+                handle = self.optimization.solve_async(
                     node_poses,
                     loop_closure_preference=go.loop_closure_preference,
                     edge_prune_threshold=go.edge_prune_threshold,
                     reference_node=go.reference_node,
                     max_iterations=go.max_iterations,
                 )
-            self._pending_increments = incs
+            self._pending_increments = handle
             self.optimized_graph_available = True
 
     def check_if_optimized_graph_available(self) -> None:
@@ -253,9 +256,14 @@ class SlamWrapper:
         (SlamWrapper.cpp:1000, 1105-1140)."""
         if not self.optimized_graph_available:
             return
-        incs = self._pending_increments
-        self._pending_increments = None
+        # GIL-atomic swap (no _lc_lock here: the LC thread holds it for
+        # whole candidate builds and the map worker must not stall).
+        handle, self._pending_increments = self._pending_increments, None
         self.optimized_graph_available = False
+        if handle is None:
+            return
+        # By this tick the solve's pre-issued readback has landed.
+        incs = self.optimization.resolve_async(handle)
         sc = self.mapper.submaps
         # Submap transforms mutate the active table: hand truth back from
         # the chained device state first.

@@ -152,6 +152,44 @@ def _f_sampling_surface_normal(cloud, key, p):
         cloud, key, ratio=float(p.get("ratio", 0.5)), knn=int(p.get("knn", 7)))
 
 
+def _f_elipsoids(cloud, key, p):
+    return filters_extra.elipsoids(
+        cloud, key,
+        ratio=float(p.get("ratio", 0.5)),
+        knn=int(p.get("knn", 7)),
+        sampling_method=int(p.get("samplingMethod", 0)),
+        max_box_dim=float(p.get("maxBoxDim", jnp.inf)),
+        min_planarity=float(p.get("minPlanarity", 0.0)),
+        keep_normals=bool(int(p.get("keepNormals", 1))),
+        keep_densities=bool(int(p.get("keepDensities", 0))),
+        keep_eigen_values=bool(int(p.get("keepEigenValues", 0))),
+        keep_eigen_vectors=bool(int(p.get("keepEigenVectors", 0))),
+        keep_covariances=bool(int(p.get("keepCovariances", 0))),
+        keep_weights=bool(int(p.get("keepWeights", 0))),
+        keep_means=bool(int(p.get("keepMeans", 0))),
+        keep_shapes=bool(int(p.get("keepShapes", 0))),
+        average_existing_descriptors=bool(
+            int(p.get("averageExistingDescriptors", 1))))
+
+
+def _f_gestalt(cloud, key, p):
+    return filters_extra.gestalt(
+        cloud, key,
+        ratio=float(p.get("ratio", 0.1)),
+        radius=float(p.get("radius", 5.0)),
+        knn=int(p.get("knn", 7)),
+        vsize=(float(p.get("vSizeX", 1.0)), float(p.get("vSizeY", 1.0)),
+               float(p.get("vSizeZ", 1.0))),
+        keep_normals=bool(int(p.get("keepNormals", 1))),
+        keep_means=bool(int(p.get("keepMeans", 0))),
+        keep_eigen_values=bool(int(p.get("keepEigenValues", 0))),
+        keep_eigen_vectors=bool(int(p.get("keepEigenVectors", 0))),
+        keep_covariances=bool(int(p.get("keepCovariances", 0))),
+        keep_gestalt_features=bool(int(p.get("keepGestaltFeatures", 1))),
+        average_existing_descriptors=bool(
+            int(p.get("averageExistingDescriptors", 1))))
+
+
 def _f_orient_normals(cloud, key, p):
     return filters_extra.orient_normals(
         cloud, toward_sensor=bool(int(p.get("towardCenter", 1))))
@@ -274,18 +312,13 @@ _FILTERS = {
     "cutatdescriptorthreshold": _f_cut_at_descriptor,
     "removesensorbias": _f_remove_sensor_bias,
     "organizedcloudsurfacenormal": _f_organized_surface_normal,
+    "elipsoids": _f_elipsoids,
+    "gestalt": _f_gestalt,
 }
 
-# Intentionally excluded registry entries (reference Registry.cpp:87-94):
-#   Elipsoids / Gestalt — research-grade shape-decomposition descriptors
-#   (505/630 LoC) used by NO reference config, launch file, or SLAM
-#   parameter set; they exist upstream for the 2015 Gestalt paper's
-#   experiments.  FilterPipeline raises a clear error naming the exclusion
-#   rather than silently accepting them.
-_EXCLUDED_FILTERS = {
-    "elipsoids": "shape-decomposition descriptor unused by any reference config",
-    "gestalt": "Gestalt descriptor unused by any reference config",
-}
+# No excluded registry entries remain: all 28 reference DataPointsFilters
+# (Registry.cpp:67-95) are registered.
+_EXCLUDED_FILTERS = {}
 
 
 class FilterPipeline:

@@ -26,15 +26,52 @@ from .. import fpfh as fpfh_ops
 Array = jax.Array
 
 
+def _quat_to_rot(q: Array) -> Array:
+    """Unit quaternion [B,4] (w,x,y,z) -> rotation matrix [B,3,3]."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
+
+
 def _kabsch_3pt(src: Array, dst: Array):
-    """Closed-form rigid alignment of 3 point pairs.  src,dst: [B,3,3]."""
+    """Closed-form rigid alignment of 3 point pairs.  src,dst: [B,3,3].
+
+    Horn's quaternion formulation with shifted power iteration for the
+    dominant eigenvector of the 4x4 profile matrix — a batched 3x3 SVD
+    here cost ~30 ms for 4096 hypotheses on TPU (tiny-batched LAPACK-style
+    kernels don't vectorize), while 30 power steps of [B,4,4] matvecs are
+    pure VPU work.  Degenerate triplets (collinear points, tied
+    eigenvalues) yield an arbitrary rotation; the distance checker and
+    inlier scoring reject those hypotheses exactly as they reject bad
+    SVD-based ones.
+    """
     mu_s = jnp.mean(src, axis=1, keepdims=True)
     mu_d = jnp.mean(dst, axis=1, keepdims=True)
-    S = jnp.einsum("bki,bkj->bij", dst - mu_d, src - mu_s)
-    U, _, Vt = jnp.linalg.svd(S)
-    det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", U, Vt))
-    C = jnp.broadcast_to(jnp.eye(3), U.shape).at[:, 2, 2].set(det)
-    R = jnp.einsum("bij,bjk,bkl->bil", U, C, Vt)
+    M = jnp.einsum("bki,bkj->bij", src - mu_s, dst - mu_d)  # Σ a bᵀ
+    xx, xy, xz = M[:, 0, 0], M[:, 0, 1], M[:, 0, 2]
+    yx, yy, yz = M[:, 1, 0], M[:, 1, 1], M[:, 1, 2]
+    zx, zy, zz = M[:, 2, 0], M[:, 2, 1], M[:, 2, 2]
+    N = jnp.stack([
+        jnp.stack([xx + yy + zz, yz - zy, zx - xz, xy - yx], -1),
+        jnp.stack([yz - zy, xx - yy - zz, xy + yx, zx + xz], -1),
+        jnp.stack([zx - xz, xy + yx, -xx + yy - zz, yz + zy], -1),
+        jnp.stack([xy - yx, zx + xz, yz + zy, -xx - yy + zz], -1),
+    ], axis=1)                                              # [B,4,4] sym
+    # Shift so the max-quaternion eigenvalue dominates in magnitude.
+    shift = jnp.sqrt(jnp.sum(M * M, axis=(1, 2)))[:, None, None] * 2.0 + 1e-6
+    Ns = N + shift * jnp.broadcast_to(jnp.eye(4), N.shape)
+    v = jnp.broadcast_to(
+        jnp.asarray([0.5, 0.5, 0.5, 0.5], src.dtype), (N.shape[0], 4))
+    for _ in range(30):
+        v = jnp.einsum("bij,bj->bi", Ns, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    R = _quat_to_rot(v)
     t = mu_d[:, 0, :] - jnp.einsum("bij,bj->bi", R, mu_s[:, 0, :])
     return R, t
 

@@ -126,7 +126,117 @@ def test_organized_surface_normals_plane():
     np.testing.assert_allclose(np.asarray(out2.normals), n, atol=1e-6)
 
 
-def test_excluded_filters_raise_named_error():
-    for name in ("GestaltDataPointsFilter", "ElipsoidsDataPointsFilter"):
-        with pytest.raises(ValueError, match="intentionally"):
-            chain_mod.FilterPipeline([(name, {})])
+def _surfel_plane(n=1024, key=0, z_noise=0.0):
+    rng = np.random.RandomState(key)
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(-4, 4, n)
+    pts[:, 1] = rng.uniform(-4, 4, n)
+    pts[:, 2] = 2.0 + z_noise * rng.randn(n)
+    return make_cloud(jnp.asarray(pts))
+
+
+def test_elipsoids_surfels_on_plane():
+    """≙ ElipsoidsDataPointsFilter semantics (Elipsoids.cpp:284-501):
+    boxes of <= knn points -> surfel mean + smallest-eigval normal +
+    descriptors.  (The reference's own unit test is disabled upstream as
+    broken — utest/ui/DataFilters.cpp:298-323 — so this asserts the
+    documented behavior directly.)"""
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import filters_extra as fe
+
+    cloud = _surfel_plane(1024, z_noise=0.002)
+    # samplingMethod 1: one surfel per box at the mean.
+    out = fe.elipsoids(cloud, jax.random.PRNGKey(1), knn=8, sampling_method=1,
+                       keep_weights=True, keep_shapes=True,
+                       keep_eigen_values=True)
+    n_out = int(out.count())
+    assert 1024 // 8 - 8 <= n_out <= 1024 // 8 + 8
+    m = np.asarray(out.mask)
+    # Surfel normals must match the plane normal.
+    nz = np.abs(np.asarray(out.normals)[m][:, 2])
+    assert (nz > 0.99).mean() > 0.95
+    # Surfel means lie on the plane.
+    assert np.allclose(np.asarray(out.xyz)[m][:, 2], 2.0, atol=0.01)
+    # weights = points per box; shapes = planar (planarity ~1).
+    w = np.asarray(out.attr("weights"))[m]
+    assert w.min() >= 3 and w.max() <= 8
+    # Shape split: flat surfels -> near-zero sphericality, and planarity
+    # + cylindricality carry the in-plane mass (Morton boxes are
+    # anisotropic, so the in-plane eigenvalues are unequal).
+    planarity = np.asarray(out.attr("shapes0"))[m]
+    sphericality = np.asarray(out.attr("shapes2"))[m]
+    assert sphericality.mean() < 0.05
+    assert planarity.mean() > 0.1
+    # Eigenvalues ascend: smallest (out-of-plane) << in-plane spread.
+    ev0 = np.asarray(out.attr("eigValues0"))[m]
+    ev2 = np.asarray(out.attr("eigValues2"))[m]
+    assert (ev0 <= ev2 + 1e-9).all() and ev2.mean() > 100 * max(ev0.mean(), 1e-12)
+
+    # samplingMethod 0: random subsample of ORIGINAL points at ~ratio,
+    # carrying the box descriptors.
+    out0 = fe.elipsoids(cloud, jax.random.PRNGKey(2), knn=8, ratio=0.5,
+                        sampling_method=0, keep_means=True)
+    n0 = int(out0.count())
+    assert 0.35 * 1024 < n0 < 0.65 * 1024
+    # maxBoxDim drops every box when tiny.
+    gone = fe.elipsoids(cloud, jax.random.PRNGKey(3), knn=8,
+                        sampling_method=1, max_box_dim=1e-6)
+    assert int(gone.count()) == 0
+
+
+def test_gestalt_descriptors():
+    """≙ GestaltDataPointsFilter (Gestalt.cpp:214-595): voxel keypoints,
+    vertical-normal / planarity gates, 4x8 polar height descriptor."""
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import filters_extra as fe
+
+    # A vertical wall: normals horizontal (passes the 10-degree vertical
+    # gate), heights vary along the wall.
+    rng = np.random.RandomState(0)
+    n = 2048
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(-6, 6, n)
+    pts[:, 1] = 0.002 * rng.randn(n)
+    pts[:, 2] = rng.uniform(0, 3, n)
+    cloud = make_cloud(jnp.asarray(pts))
+    out = fe.gestalt(cloud, jax.random.PRNGKey(1), ratio=0.9, radius=2.0,
+                     vsize=(1.0, 1.0, 1.0), max_keypoints=128,
+                     keep_eigen_values=True)
+    k = int(out.count())
+    assert k > 5
+    m = np.asarray(out.mask)
+    # Keypoint normals are horizontal (wall).
+    nz = np.abs(np.asarray(out.normals)[m][:, 2])
+    assert (nz < 0.2).mean() > 0.9
+    # Gestalt channels exist: 32 means + 32 variances.
+    assert sum(1 for a in out.attr_names if a.startswith("gestaltMeans")) == 32
+    assert sum(1 for a in out.attr_names
+               if a.startswith("gestaltVariances")) == 32
+    # Translation invariance of the descriptor (heights are relative).
+    shifted = cloud.transform(jnp.asarray(
+        [[1, 0, 0, 5.0], [0, 1, 0, -3.0], [0, 0, 1, 0.0], [0, 0, 0, 1]],
+        jnp.float32))
+    out_s = fe.gestalt(shifted, jax.random.PRNGKey(1), ratio=0.9, radius=2.0,
+                       vsize=(1.0, 1.0, 1.0), max_keypoints=128)
+    gm = np.asarray(out.attrs)[:, [out.attr_names.index("gestaltMeans0")]]
+    gm_s = np.asarray(out_s.attrs)[:, [out_s.attr_names.index("gestaltMeans0")]]
+    both = np.logical_and(m, np.asarray(out_s.mask))
+    np.testing.assert_allclose(gm[both], gm_s[both], atol=0.05)
+
+
+def test_elipsoids_gestalt_reachable_from_chain():
+    """All 28 reference DataPointsFilters construct from the registry
+    (Registry.cpp:67-95) — the former exclusions are gone."""
+    from open3d_slam_advanced_rss_2024_public_tpu.ops import generators
+
+    cloud = generators.lidar_room_scan(jax.random.PRNGKey(0), n=2000,
+                                       room=(8.0, 6.0, 3.0))
+    pipe = chain_mod.FilterPipeline([
+        ("ElipsoidsDataPointsFilter",
+         {"knn": 6, "samplingMethod": 1, "keepNormals": 1})])
+    out = pipe(cloud)
+    assert 0 < int(out.count()) < 2000
+    pipe_g = chain_mod.FilterPipeline([
+        ("GestaltDataPointsFilter",
+         {"ratio": 0.9, "radius": 1.5, "vSizeX": 1, "vSizeY": 1,
+          "vSizeZ": 1})])
+    out_g = pipe_g(cloud)
+    assert int(out_g.count()) > 0
