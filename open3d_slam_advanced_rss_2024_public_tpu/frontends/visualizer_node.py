@@ -27,10 +27,88 @@ import threading
 
 
 class _BundleHandler(http.server.SimpleHTTPRequestHandler):
-    """Serves the bundle directory with a minimal auto-refreshing index."""
+    """Serves the bundle directory with a minimal auto-refreshing index.
+
+    When a SLAM runtime is attached (``serve(..., slam=...)``), also
+    exposes the interactive localization-initialization surface — the
+    HTTP analogue of the reference's RViz flow (SlamMapInitializer.cpp:
+    28-200: ``/initialpose`` topic + interactive marker +
+    ``initialize_slam`` Trigger service):
+
+      POST /initialpose       {"x","y","z","roll","pitch","yaw"(deg)} or
+                              {"matrix": [16 floats, row-major]}
+                              -> sets the map->sensor initial transform
+                              and writes initial_pose.json to the bundle.
+      POST /initialize_slam   commits the initialization (runs the
+                              attached SlamMapInitializer when present,
+                              e.g. loading the prior map).
+    """
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
+
+    def _json_response(self, code: int, payload: dict) -> None:
+        import json
+
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        import json
+
+        slam = getattr(self, "slam", None)
+        if slam is None:
+            self._json_response(404, {"error": "no SLAM runtime attached"})
+            return
+        n = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError as e:
+            self._json_response(400, {"error": f"bad JSON: {e}"})
+            return
+        if self.path == "/initialpose":
+            import numpy as np
+
+            try:
+                if "matrix" in req:
+                    T = np.asarray(req["matrix"],
+                                   np.float32).reshape(4, 4)
+                else:
+                    from ..models.map_initializer import pose_from_config
+
+                    class _P:
+                        x = float(req.get("x", 0.0))
+                        y = float(req.get("y", 0.0))
+                        z = float(req.get("z", 0.0))
+                        roll = float(req.get("roll", 0.0))
+                        pitch = float(req.get("pitch", 0.0))
+                        yaw = float(req.get("yaw", 0.0))
+
+                    T = pose_from_config(_P)
+            except (ValueError, TypeError) as e:
+                self._json_response(400, {"error": str(e)})
+                return
+            slam.set_initial_transform(T)
+            # Preview export (≙ the reference's aligned-cloud preview).
+            preview = os.path.join(self.directory, "initial_pose.json")
+            with open(preview + ".tmp", "w") as f:
+                json.dump({"map_to_range_sensor": T.tolist()}, f)
+            os.replace(preview + ".tmp", preview)
+            self._json_response(200, {"status": "initial pose set",
+                                      "pose": T.tolist()})
+        elif self.path == "/initialize_slam":
+            init = getattr(self, "initializer", None)
+            if init is not None:
+                init.initialize()
+            self._json_response(200, {
+                "status": "initialized",
+                "pose": slam.mapper.map_to_range_sensor.tolist()})
+        else:
+            self._json_response(404, {"error": f"unknown endpoint {self.path}"})
 
     def do_GET(self):
         if self.path in ("/", "/index.html"):
@@ -53,12 +131,21 @@ class _BundleHandler(http.server.SimpleHTTPRequestHandler):
 
 
 def serve(directory: str, port: int = 8008, background: bool = False,
-          host: str = "127.0.0.1"):
+          host: str = "127.0.0.1", slam=None, initializer=None):
     """Serve ``directory`` on ``host:port``; returns the server (background
     mode) or blocks forever.  Binds loopback by default (ADVICE r4: the
     bundle exposes the live map — pass host="0.0.0.0" explicitly to serve
-    other interfaces)."""
-    handler = functools.partial(_BundleHandler, directory=directory)
+    other interfaces).
+
+    ``slam``: a SlamWrapper to attach the interactive initialization
+    endpoints to (POST /initialpose, /initialize_slam — see
+    _BundleHandler); ``initializer``: an optional SlamMapInitializer run
+    by /initialize_slam."""
+    cls = _BundleHandler
+    if slam is not None:
+        cls = type("_BoundBundleHandler", (_BundleHandler,),
+                   {"slam": slam, "initializer": initializer})
+    handler = functools.partial(cls, directory=directory)
     server = http.server.ThreadingHTTPServer((host, port), handler)
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True,

@@ -472,16 +472,26 @@ class Mapper:
         mb = self.params.mapper.map_builder
         if (block_drops > 0
                 and mb.is_overflow_eviction_enabled and not rolled):
-            # Overflow policy: this block dropped voxels — evict the
-            # lowest-weight fraction of the chain-end table so subsequent
-            # scans land (ops/voxel_map.evict_low_weight; the PRIMARY
-            # capacity bound stays the submap point-budget rollover).
+            # Overflow policy: this block dropped voxels — evict a
+            # fraction of the chain-end table so subsequent scans land
+            # (the PRIMARY capacity bound stays the submap point-budget
+            # rollover).  Default policy: keep the voxels NEAREST the
+            # current pose — scan-to-map ICP only touches the local
+            # neighborhood, and weight-keyed eviction drops exactly the
+            # newest frontier surfaces (see voxel_map.evict_far).
             from ..ops import voxel_map as vm
 
-            self._state = pipeline.MapState(
-                map=vm.evict_low_weight(
+            if mb.overflow_evict_policy == "weight":
+                evicted = vm.evict_low_weight(
                     self._state.map,
-                    keep_fraction=mb.overflow_evict_keep_fraction),
+                    keep_fraction=mb.overflow_evict_keep_fraction)
+            else:
+                evicted = vm.evict_far(
+                    self._state.map,
+                    jnp.asarray(self.map_to_range_sensor[:3, 3]),
+                    keep_fraction=mb.overflow_evict_keep_fraction)
+            self._state = pipeline.MapState(
+                map=evicted,
                 pose=self._state.pose,
                 last_insertion_pose=self._state.last_insertion_pose)
         return new_roll

@@ -110,3 +110,52 @@ def test_slamwrapper_viz_worker(tmp_path):
     slam.stop_workers()
     assert slam.viz_publisher.publish_count >= 1
     assert os.path.exists(os.path.join(out, "trajectory_tube.pcd"))
+
+
+def test_http_initial_pose_endpoint(tmp_path):
+    """Interactive localization init over the HTTP surface (≙ the
+    reference's /initialpose + initialize_slam Trigger flow,
+    SlamMapInitializer.cpp:28-200): POST a pose -> SlamWrapper initial
+    transform set + preview exported; POST initialize_slam -> ack with
+    the committed pose."""
+    import json
+
+    d = tmp_path / "bundle"
+    d.mkdir()
+    slam = SlamWrapper(_params())
+    server = visualizer_node.serve(str(d), port=0, background=True,
+                                   slam=slam)
+    try:
+        port = server.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=5) as r:
+                return r.status, json.loads(r.read())
+
+        # RPY+translation form (degrees, like the reference Lua POSE).
+        st, out = post("/initialpose",
+                       {"x": 2.0, "y": -1.0, "z": 0.5, "yaw": 90.0})
+        assert st == 200
+        T = slam.mapper.map_to_range_sensor
+        np.testing.assert_allclose(T[:3, 3], [2.0, -1.0, 0.5], atol=1e-5)
+        np.testing.assert_allclose(T[0, 1], -1.0, atol=1e-5)  # yaw 90°
+        assert (d / "initial_pose.json").exists()
+        # Raw-matrix form.
+        M = np.eye(4, dtype=np.float32)
+        M[:3, 3] = [7.0, 8.0, 9.0]
+        st, out = post("/initialpose", {"matrix": M.ravel().tolist()})
+        assert st == 200
+        np.testing.assert_allclose(
+            slam.mapper.map_to_range_sensor[:3, 3], [7.0, 8.0, 9.0],
+            atol=1e-6)
+        # Commit trigger acks with the committed pose.
+        st, out = post("/initialize_slam", {})
+        assert st == 200
+        np.testing.assert_allclose(
+            np.asarray(out["pose"])[:3][:, 3], [7.0, 8.0, 9.0], atol=1e-6)
+    finally:
+        server.shutdown()

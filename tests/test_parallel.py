@@ -192,3 +192,38 @@ def test_sharded_map_insert_and_query():
     idx1, d2_1, found1 = bruteforce.nn(queries, qmask, full.xyz, 0.3)
     ok = found & np.asarray(found1)
     np.testing.assert_allclose(np.asarray(d2)[ok], np.asarray(d2_1)[ok], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_sharded_slam_session():
+    """The composed multi-chip flow (parallel/sharded_session): sharded
+    mapper -> submap rollover -> FPFH/RANSAC loop closure -> distributed
+    pose-graph solve -> feedback, asserting the corrected trajectory beats
+    the drifted one.  Mirrors __graft_entry__.dryrun_multichip stage 5."""
+    from open3d_slam_advanced_rss_2024_public_tpu.parallel.sharded_session import (
+        run_sharded_slam_session)
+    from open3d_slam_advanced_rss_2024_public_tpu.utils import se3
+
+    mesh = make_mesh()
+    S = 24
+    world = synthetic.cluttered_world(jax.random.PRNGKey(0), extent=16.0,
+                                      n_objects=24)
+    gt = synthetic.loop_trajectory(S, radius=4.0, center=(6.0, 0.0), z=1.0)
+    keys = jax.random.split(jax.random.PRNGKey(5), S)
+    scans = [synthetic.render_scan(world, gt[i], keys[i], n_points=1024,
+                                   max_range=14.0, noise=0.004)
+             for i in range(S)]
+    yaw_bias = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.asarray([0.0, 0.0, 0.025], jnp.float32)),
+        jnp.zeros(3, jnp.float32)))
+    deltas = []
+    for i in range(S):
+        d = np.eye(4, dtype=np.float32) if i == 0 else (
+            np.linalg.inv(gt[i - 1]) @ gt[i]).astype(np.float32)
+        deltas.append((d @ yaw_bias).astype(np.float32))
+    res = run_sharded_slam_session(mesh, world, gt, scans, deltas,
+                                   scans_per_submap=6)
+    assert res["n_submaps"] >= 3
+    assert res["lc_found"]
+    assert res["ate_after"] < res["ate_before"]
+    assert res["comm"]["icp_bytes_per_scan"] < 1 << 20  # ICI budget sanity
