@@ -214,6 +214,16 @@ class Mapper:
         # One lock serializes state/pending mutation: the map worker steps
         # while finish/save/loop-closure threads flush or materialize.
         self._lock = threading.RLock()
+        # Dedicated readback thread (round 5): the caller thread only
+        # DISPATCHES blocks; the reader performs the blocking device_get
+        # for each in-flight block IN ORDER and runs the host bookkeeping
+        # under the lock.  The hot path therefore never waits on the
+        # device queue (the round-4 design blocked ~15-20 ms/scan whenever
+        # background programs rode the same queue).  In-flight depth is
+        # bounded by max_inflight_blocks for memory/rollover-lag reasons.
+        self._cv = threading.Condition(self._lock)
+        self._reader: Optional[threading.Thread] = None
+        self.max_inflight_blocks = 4
 
     @staticmethod
     def _validate_map_extent(params: SlamParameters) -> None:
@@ -297,6 +307,11 @@ class Mapper:
         if not items:
             return
         self._queue = []
+        if self._reader is None:
+            self._reader = threading.Thread(target=self._reader_loop,
+                                            name="mapper-readback",
+                                            daemon=True)
+            self._reader.start()
         K = self.readback_lag
         n = len(items)
         scans = [q.scan for q in items]
@@ -320,17 +335,29 @@ class Mapper:
                      outs.map_count, outs.dropped):
             leaf.copy_to_host_async()
         self._inflight.append(_InflightBlock(items=items, outs=outs))
+        self._cv.notify_all()
 
-    def _process_ready(self, keep: int) -> None:
-        """Process dispatched blocks in order, keeping up to ``keep`` in
-        flight (a kept block's readback overlaps the next block's
-        execution).  A rollover rebuilds the chain immediately and tags
-        the still-inflight blocks as tail — NO draining (round 5; the old
-        drain-on-rollover stalled the worker behind every queued
-        background program)."""
-        while len(self._inflight) > keep:
-            if self._process_block(self._inflight.popleft(), False):
-                self._rebuild_after_rollover()
+    def _reader_loop(self) -> None:
+        """Dedicated readback thread: block on each in-flight block's
+        device_get IN ORDER (outside the lock), then run its host
+        bookkeeping under the lock.  Only this thread pops _inflight, so
+        flush() can simply wait for the deque to drain.  A rollover
+        rebuilds the chain immediately and tags the still-inflight blocks
+        as tail — NO draining (round 5)."""
+        while True:
+            with self._cv:
+                while not self._inflight:
+                    self._cv.wait(timeout=0.5)
+                blk = self._inflight[0]
+            with _STATS.time("mapper/block_readback"):
+                vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
+                                       blk.outs.inserted, blk.outs.map_count,
+                                       blk.outs.dropped))
+            with self._cv:
+                self._inflight.popleft()
+                if self._process_block(blk, False, vals):
+                    self._rebuild_after_rollover()
+                self._cv.notify_all()
 
     def _rebuild_after_rollover(self) -> None:
         """A processed block rolled the submap over: the fresh active
@@ -360,24 +387,28 @@ class Mapper:
         for blk in self._inflight:
             blk.tail = True
 
-    def _process_block(self, blk: _InflightBlock, rolled: bool) -> bool:
+    def _process_block(self, blk: _InflightBlock, rolled: bool,
+                       vals=None) -> bool:
         """Host bookkeeping for one dispatched block: pose/trajectory
         buffers, fitness stats, submap rollover, carving.  Returns True if
         any record triggered a submap rollover (records after it in the
         SAME block route to the tail path; the caller rebuilds the chain
         and tags later in-flight blocks — see _rebuild_after_rollover).
-        For a block tagged ``tail`` every record re-fuses into the chain
-        (or the active submap's table when the chain is down)."""
+        For a block tagged ``tail`` every record re-fuses into the chain.
+        ``vals``: the block's readback when the caller (reader thread)
+        already fetched it outside the lock."""
         new_roll = False
         rolled = rolled or blk.tail
-        with _STATS.time("mapper/block_readback"):
-            vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
-                                   blk.outs.inserted, blk.outs.map_count,
-                                   blk.outs.dropped))
+        if vals is None:
+            with _STATS.time("mapper/block_readback"):
+                vals = jax.device_get((blk.outs.pose, blk.outs.res.match_ratio,
+                                       blk.outs.inserted, blk.outs.map_count,
+                                       blk.outs.dropped))
         poses, matches, inserteds, mcounts, droppeds = (np.asarray(v) for v in vals)
         ml = self.params.mapper.mapper_localizer
         sc = self.submaps
         block_drops = 0
+        tail_mask = np.zeros(len(blk.items), dtype=bool)
         for k, q in enumerate(blk.items):
             pose = poses[k].astype(np.float32)
             best_guess = (self.map_to_range_sensor_prev @ q.motion).astype(
@@ -434,30 +465,19 @@ class Mapper:
                     # Records behind a rollover: device fusion landed in
                     # the CLOSED submap (kept — same spirit as the
                     # reference's scan-overlap); re-fuse them into the
-                    # fresh active submap with FULL lifecycle checks minus
-                    # the point-budget gate (the device map_count refers
-                    # to the closed table; the budget re-checks on the
-                    # next normal block).
+                    # fresh active submap.
                     with _STATS.time("mapper/rollover_tail_insert"):
                         if blk.tail and not new_roll:
                             # Chain already rebuilt onto the fresh submap:
-                            # fuse into the LIVE chain (order-independent
-                            # weighted means) + run the lifecycle.
-                            cloud = merged_thunk()
-                            self._state = pipeline.chain_insert(
-                                self._state, cloud,
-                                self.pipe_cfg.map_voxel_size)
-                            sc.active_submap.map = self._state.map
-                            changed = sc.post_insert_update(
-                                cloud, pose, q.time, active_count=0)
-                            if changed:
-                                new_roll = True
-                            elif sc.active_submap.map is not self._state.map:
-                                self._state = pipeline.MapState(
-                                    map=sc.active_submap.map,
-                                    pose=self._state.pose,
-                                    last_insertion_pose=(
-                                        self._state.last_insertion_pose))
+                            # per-record bookkeeping only — the block's
+                            # clouds batch-fuse into the live chain in ONE
+                            # program after the loop (chain_insert_block),
+                            # and the lifecycle re-checks once per block.
+                            sc.overlap_buffer.append(
+                                (merged_thunk, pose, q.time))
+                            sc.active_submap.n_scans += 1
+                            sc.num_scans_merged_in_active += 1
+                            tail_mask[k] = True
                         else:
                             # A rollover happened earlier in THIS block
                             # (chain rebuild pending at the caller) —
@@ -469,6 +489,25 @@ class Mapper:
             self._finalize(Finalized(
                 time=q.time, pose=pose, merged=merged_thunk, raw=q.scan,
                 fitness=fitness, inserted=bool(inserteds[k])))
+        if tail_mask.any():
+            # Batched tail re-fusion: one program for all of this block's
+            # post-rollover records, then one lifecycle re-check at the
+            # last record's pose (full checks minus the point-budget gate
+            # — the device map_count refers to the closed table; the
+            # budget re-checks on the next normal block).
+            with _STATS.time("mapper/rollover_tail_insert"):
+                K_blk = int(blk.outs.merged.xyz.shape[0])
+                rec_mask = np.zeros(K_blk, dtype=bool)
+                rec_mask[:len(tail_mask)] = tail_mask
+                self._state = pipeline.chain_insert_block(
+                    self._state, blk.outs.merged, jnp.asarray(rec_mask),
+                    self.pipe_cfg.map_voxel_size)
+                sc.active_submap.map = self._state.map
+                last_k = int(np.nonzero(tail_mask)[0][-1])
+                if sc.lifecycle_check(poses[last_k].astype(np.float32),
+                                      blk.items[last_k].time,
+                                      active_count=0):
+                    new_roll = True
         mb = self.params.mapper.map_builder
         if (block_drops > 0
                 and mb.is_overflow_eviction_enabled and not rolled):
@@ -497,40 +536,21 @@ class Mapper:
         return new_roll
 
     def flush(self) -> None:
-        """Dispatch any partial block and run the host bookkeeping for
-        every in-flight block (trajectory buffers, fitness stats, submap
-        rollover, carving).  BLOCKS until the chain drains."""
-        with self._lock:
+        """Dispatch any partial block and BLOCK until the reader thread
+        has drained every in-flight block's bookkeeping (trajectory
+        buffers, fitness stats, submap rollover, carving)."""
+        with self._cv:
             self._dispatch_block()
-            self._process_ready(keep=0)
+            while self._inflight:
+                self._cv.wait(timeout=0.5)
 
     def poll(self) -> None:
-        """Non-blocking drain for the online idle path: process every
-        in-flight block whose readback has ALREADY landed, and dispatch a
-        partial block only when the device pipeline is empty.
-
-        The map worker used to hard-flush whenever the intake queues
-        looked empty; under a bursty feed the 2-slot queues oscillate
-        empty on host-scheduling jitter, so the worker repeatedly drained
-        the whole chain (measured 19 x ~235 ms stalls per 100-scan run)
-        and padded partial blocks wasted device time.  Polling keeps pose
-        freshness — once the stream truly stops, the in-flight blocks
-        complete, the partial block dispatches, and the next poll reads
-        it — without ever blocking on the device queue."""
-        with self._lock:
+        """Online idle tick: dispatch the partial block once the device
+        pipeline is empty (pose freshness when the stream pauses).  The
+        reader thread handles all draining — nothing here blocks."""
+        with self._cv:
             if self._queue and not self._inflight:
-                # Device pipeline idle: flush the partial block now (its
-                # padding costs nothing that would otherwise run).
                 self._dispatch_block()
-            while self._inflight:
-                outs = self._inflight[0].outs
-                try:
-                    if not outs.pose.is_ready():
-                        break
-                except AttributeError:
-                    pass  # backends without is_ready: process (blocks)
-                if self._process_block(self._inflight.popleft(), False):
-                    self._rebuild_after_rollover()
 
     def _finalize(self, rec: Finalized) -> None:
         """Append a per-scan record for drain_finalized, evicting past the
@@ -655,11 +675,12 @@ class Mapper:
         self.stats.scans_processed += 1
         if len(self._queue) >= self.readback_lag:
             self._dispatch_block()
-            # Keep two blocks in flight: readbacks land while later blocks
-            # (and interleaved background programs — LC/constraint evals
-            # share the device queue) execute, so the worker only blocks
-            # when the device falls a full two blocks behind.
-            self._process_ready(keep=2)
+            # Backpressure only: the reader thread drains the blocks;
+            # the hot path waits ONLY when the device has fallen a full
+            # max_inflight_blocks window behind (memory + rollover-lag
+            # bound).
+            while len(self._inflight) >= self.max_inflight_blocks:
+                self._cv.wait(timeout=0.5)
         return True
 
     def get_assembled_map(self) -> PointCloud:

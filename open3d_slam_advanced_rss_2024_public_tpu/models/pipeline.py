@@ -224,6 +224,28 @@ def chain_insert(state: MapState, cloud_map_frame: PointCloud,
     )
 
 
+@jax.jit
+def chain_insert_block(state: MapState, merged_stacked: PointCloud,
+                       record_mask: Array, voxel_size) -> MapState:
+    """Fuse a whole tail BLOCK's merged clouds ([K, N, ...] stacked step
+    outputs, per-record enable mask bool[K]) into the chained table with
+    ONE program — the per-record slice + insert dispatches cost ~14 ms
+    each over the tunnel, and a rollover can leave up to 2*lag records on
+    the tail path."""
+    K, N = merged_stacked.xyz.shape[0], merged_stacked.xyz.shape[1]
+    flat = jax.tree.map(
+        lambda x: x.reshape((K * N,) + x.shape[2:]) if hasattr(x, "shape")
+        and x.ndim >= 2 else x, merged_stacked)
+    m = jnp.logical_and(merged_stacked.mask.reshape(-1),
+                        jnp.repeat(record_mask, N))
+    cloud = flat.with_mask(m)
+    return MapState(
+        map=voxel_map.insert(state.map, cloud, voxel_size),
+        pose=state.pose,
+        last_insertion_pose=state.last_insertion_pose,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def mapper_step_block(state: MapState, scans: PointCloud, odom_deltas: Array,
                       insert_enables: Array,

@@ -223,10 +223,13 @@ class PlaceRecognition:
                 ransac_batch=pr.ransac_batch_size)
             _async_host_copies(outs)
             evals.append((cand, outs))
-        # Phase 2 — one readback round, then all gates on host.
+        # Phase 2 — ONE batched readback for every candidate (each
+        # separate device_get pays the tunnel's ambient 25-75 ms fresh-
+        # result latency), then all gates on host.
+        all_vals = jax.device_get([outs for _, outs in evals])
         out: List[Constraint] = []
-        for cand, outs in evals:
-            T, n_inliers, n_q, n_c, T_ref, fitness, info = jax.device_get(outs)
+        for (cand, _), vals in zip(evals, all_vals):
+            T, n_inliers, n_q, n_c, T_ref, fitness, info = vals
             if int(n_inliers) < pr.ransac_min_corresondence_set_size:
                 continue
             # Drift consistency: the correction this closure implies must be
@@ -278,9 +281,9 @@ def _odo_edge_dispatch(parent: Submap, child: Submap, map_voxel_size: float,
     return outs
 
 
-def _odo_edge_finish(parent: Submap, child: Submap, outs) -> Constraint:
-    """Read one dispatched edge back and apply the host gates."""
-    n_p, n_c, T_corr_d, info_d = jax.device_get(outs)
+def _odo_edge_finish(parent: Submap, child: Submap, vals) -> Constraint:
+    """Apply the host gates to one edge's read-back values."""
+    n_p, n_c, T_corr_d, info_d = vals
     T_corr = np.eye(4, dtype=np.float64)
     info = np.eye(6, dtype=np.float32)
     if int(n_p) > 10 and int(n_c) > 10:
@@ -318,10 +321,9 @@ def build_odometry_constraint(parent: Submap, child: Submap,
     pipeline runs as ONE fused program with a single readback (see the
     dispatch-then-read note above _lc_candidate_eval).
     """
-    return _odo_edge_finish(
-        parent, child,
-        _odo_edge_dispatch(parent, child, map_voxel_size, overlap_capacity,
-                           refine))
+    outs = _odo_edge_dispatch(parent, child, map_voxel_size,
+                              overlap_capacity, refine)
+    return _odo_edge_finish(parent, child, jax.device_get(outs))
 
 
 def compute_odometry_constraints(submaps: List[Submap],
@@ -351,4 +353,6 @@ def compute_odometry_constraints(submaps: List[Submap],
         pairs.append((parent, sm,
                       _odo_edge_dispatch(parent, sm, map_voxel_size,
                                          overlap_capacity, refine)))
-    return [_odo_edge_finish(p, c, o) for p, c, o in pairs]
+    all_vals = jax.device_get([o for _, _, o in pairs])
+    return [_odo_edge_finish(p, c, v)
+            for (p, c, _), v in zip(pairs, all_vals)]

@@ -444,27 +444,31 @@ class SlamWrapper:
         # (the map worker appends one per scan), and the queues must be empty
         # — queue.empty() alone races with the in-flight item the worker
         # already popped (≙ the reference's stopWorkers join semantics).
-        while _time.time() < deadline:
-            drained = (self.odometry_queue.empty() and self.mapping_queue.empty()
-                       and self.dense_queue.empty())
-            if drained:
-                # Flush the trailing (partial) lag block and drain it.
-                self.mapper.flush()
-                self._consume_finalized(dense_inline=not self._workers)
-            if drained and (not self._workers
-                            or len(self.trajectory_poses) >= self._scans_accepted):
-                break
-            _time.sleep(0.05)
-        self.mapper.materialize()
+        with _STATS.time("slam/finish_drain"):
+            while _time.time() < deadline:
+                drained = (self.odometry_queue.empty() and self.mapping_queue.empty()
+                           and self.dense_queue.empty())
+                if drained:
+                    # Flush the trailing (partial) lag block and drain it.
+                    self.mapper.flush()
+                    self._consume_finalized(dense_inline=not self._workers)
+                if drained and (not self._workers
+                                or len(self.trajectory_poses) >= self._scans_accepted):
+                    break
+                _time.sleep(0.01)
+            self.mapper.materialize()
         sc = self.mapper.submaps
         if sc.submaps and sc.active_submap.n_scans > 0 and len(sc.submaps) >= 1:
             # Force-finish the active submap so it gets features too.
             sc.finished_queue.append((sc.active_idx, self.trajectory_times[-1]
                                       if self.trajectory_times else 0.0))
-            self.compute_features_if_ready()
+            with _STATS.time("slam/finish_features"):
+                self.compute_features_if_ready()
             if self.params.mapper.mapper_localizer.is_attempt_loop_closures:
-                self.attempt_loop_closures_if_ready()
-                self.check_if_optimized_graph_available()
+                with _STATS.time("slam/finish_lc"):
+                    self.attempt_loop_closures_if_ready()
+                with _STATS.time("slam/finish_apply"):
+                    self.check_if_optimized_graph_available()
 
     # ------------------------------------------------------------ persistence
 

@@ -138,19 +138,42 @@ class Submap:
         self._center = None
         self._center_dev = c
 
+    # True when transform() moved the accumulator content without
+    # re-keying the table (cheap path for closed submaps); ensure_keys()
+    # rebuilds before any further insert/carve (re-activation).
+    keys_stale: bool = False
+
     def transform(self, T: np.ndarray) -> None:
         """Rigidly move every layer (≙ Submap::transform).
 
-        Device layers transform via async dispatches; pose/center update in
+        Content-only table transform (elementwise, ~30x cheaper than the
+        re-keying rebuild) — valid because pose-graph feedback targets
+        closed submaps, which receive no inserts; ensure_keys() re-keys
+        lazily if this submap is ever re-activated.  Pose/center update in
         pure numpy — a synchronous 4x4 readback here would serialize the
         loop-closure feedback behind everything queued on the chip."""
         Tj = jnp.asarray(T, jnp.float32)
-        self.map = voxel_map.transform(self.map, Tj)
+        self.map = voxel_map.transform_content(self.map, Tj)
         if self.dense_map is not None:
-            self.dense_map = voxel_map.transform(self.dense_map, Tj)
+            self.dense_map = voxel_map.transform_content(self.dense_map, Tj)
+        self.keys_stale = True
         if self.feature_cloud is not None:
             self.feature_cloud = self.feature_cloud.transform(Tj)
         Tn = np.asarray(T, dtype=np.float64)
+        self._after_transform(Tn)
+
+    def ensure_keys(self) -> None:
+        """Re-key the table(s) if a content-only transform left the stored
+        voxel keys stale — required before this submap accepts inserts or
+        carving again (re-activation on revisit, chain rebuild)."""
+        if not self.keys_stale:
+            return
+        self.map = voxel_map.rekey(self.map)
+        if self.dense_map is not None:
+            self.dense_map = voxel_map.rekey(self.dense_map)
+        self.keys_stale = False
+
+    def _after_transform(self, Tn: np.ndarray) -> None:
         if self._center_dev is not None:
             # Resolve a pending centroid BEFORE moving the frame (blocking
             # here is fine: transform is the rare loop-closure feedback

@@ -110,7 +110,9 @@ class SubmapCollection:
             if closest_idx == self.active_idx:
                 return
             if self.adjacency.is_adjacent(closest.submap_id, active.submap_id):
-                # Revisiting an adjacent submap: switch back to it.
+                # Revisiting an adjacent submap: switch back to it (re-key
+                # its table first if loop-closure feedback content-moved it).
+                closest.ensure_keys()
                 self.active_idx = closest_idx
             elif np.linalg.norm(pos - active.center()) > p.submap_size:
                 self._create_new_submap(map_to_range_sensor, time)
@@ -168,11 +170,25 @@ class SubmapCollection:
 
         Returns True if the active submap changed.
         """
-        voxel = self.params.map_builder.map_voxel_size
         self.overlap_buffer.append(
             (merge_cloud_map_frame, np.asarray(map_to_range_sensor), time))
+        self.submaps[self.active_idx].n_scans += 1
+        changed = self.lifecycle_check(map_to_range_sensor, time,
+                                       active_count=active_count)
+        if not changed:
+            self._maybe_carve(merge_cloud_map_frame, map_to_range_sensor)
+        self.num_scans_merged_in_active += 1
+        return changed
+
+    def lifecycle_check(self, map_to_range_sensor: np.ndarray, time: float,
+                        active_count: Optional[int] = None) -> bool:
+        """Active-submap selection + rollover finalization WITHOUT
+        inserting anything: center freeze, finished queue, adjacency
+        edge, overlap replay into the fresh submap.  Shared by
+        post_insert_update and the Mapper's batched tail path.  Returns
+        True if the active submap changed."""
+        voxel = self.params.map_builder.map_voxel_size
         prev_active = self.active_idx
-        self.submaps[prev_active].n_scans += 1
         self._update_active_submap(map_to_range_sensor, time,
                                    active_count=active_count)
         changed = prev_active != self.active_idx
@@ -188,9 +204,6 @@ class SubmapCollection:
                 new.map = voxel_map.insert(new.map, _resolve(cloud), voxel)
                 new.n_scans += 1
             self.overlap_buffer.clear()
-        else:
-            self._maybe_carve(merge_cloud_map_frame, map_to_range_sensor)
-        self.num_scans_merged_in_active += 1
         return changed
 
     def insert_scan(self, merge_cloud_map_frame: PointCloud,
@@ -301,6 +314,11 @@ class SubmapCollection:
             if not np.allclose(dT, np.eye(4), atol=1e-9):
                 sm.transform(dT)
             applied[sm.submap_id] = dT
+        # The ACTIVE submap keeps receiving inserts (the mapper rebuilds
+        # its chain from this table): restore valid keys now; closed
+        # submaps re-key lazily on re-activation (Submap.ensure_keys).
+        if self.submaps:
+            self.active_submap.ensure_keys()
         return applied
 
     def mark_loop_closure_submaps(self, ids) -> None:

@@ -327,6 +327,37 @@ def transform(vmap: VoxelMap, T: Array) -> VoxelMap:
     return from_cloud(vmap, moved, vmap.weight, cell)
 
 
+@jax.jit
+def transform_content(vmap: VoxelMap, T: Array) -> VoxelMap:
+    """Rigidly move the map's CONTENT (accumulated sums) without re-keying
+    the table — elementwise over the accumulator vs a full table rebuild
+    (~1 ms vs ~30 ms at 262k slots on v5e).
+
+    After this, ``cloud`` (the value view) is correct in the new frame but
+    the stored voxel KEYS are stale: further ``insert``/``carve`` into
+    this table would bin by the old geometry.  Use for CLOSED submaps on
+    pose-graph feedback (they receive no inserts), with ``rekey`` run
+    lazily if the submap is ever re-activated (models/submap.py
+    ensure_keys)."""
+    Tj = jnp.asarray(T, jnp.float32)
+    R, t = Tj[:3, :3], Tj[:3, 3]
+    w = vmap.weight[..., None]
+    new_sxyz = vmap.sum_xyz @ R.T + t * w
+    new_snrm = vmap.sum_nrm @ R.T
+    acc = vmap.acc.at[..., 0:3].set(new_sxyz).at[..., 3:6].set(new_snrm)
+    return dataclasses.replace(vmap, acc=acc)
+
+
+@jax.jit
+def rekey(vmap: VoxelMap) -> VoxelMap:
+    """Rebuild the table's keys from the current voxel means (after
+    transform_content): re-inserts the means with their weights, restoring
+    insert/carve validity.  Preserves the cumulative drop counter."""
+    cell = jnp.where(vmap.cell > 0, vmap.cell, jnp.float32(1.0))
+    out = from_cloud(vmap, vmap.cloud, vmap.weight, cell)
+    return dataclasses.replace(out, dropped=vmap.dropped)
+
+
 @partial(jax.jit, static_argnames=("keep_fraction",))
 def evict_low_weight(vmap: VoxelMap, keep_fraction: float = 0.75) -> VoxelMap:
     """Overflow policy: keep the ``keep_fraction`` highest-weight voxels
