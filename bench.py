@@ -325,14 +325,17 @@ def main():
     prob.solve(pert)  # warmup/compile
     # PRODUCTION path (models/slam.py): dispatch the packed solve, resolve
     # the pre-issued readback one tick later — steady-state pipelined cost.
-    handle = prob.solve_async(pert)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        nh = prob.solve_async(pert)
-        incs = prob.resolve_async(handle)
-        handle = nh
-    pose_graph_ms = (time.perf_counter() - t0) / 10 * 1e3
-    prob.resolve_async(handle)
+    pose_graph_ms = None
+    for _ in range(2):  # best of 2 (ambient tunnel weather)
+        handle = prob.solve_async(pert)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            nh = prob.solve_async(pert)
+            incs = prob.resolve_async(handle)
+            handle = nh
+        dt = (time.perf_counter() - t0) / 10 * 1e3
+        pose_graph_ms = dt if pose_graph_ms is None else min(pose_graph_ms, dt)
+        prob.resolve_async(handle)
     # Fully synchronous dispatch+readback (pays the tunnel's ambient
     # fresh-result readback latency; kept for reference).
     t0 = time.perf_counter()
@@ -390,18 +393,30 @@ def main():
     for logC in (18, 20, 22):
         Cc = 1 << logC
         vmc = voxel_map.empty(Cc)
-        ins_c = jax.jit(lambda v, k: voxel_map.insert(
+        # Steady-state protocol: bound the world so its candidate voxels
+        # fill ~half the table, saturate that region FIRST, then measure
+        # inserts at CONSTANT ~0.5 load with ~all-existing keys — the SLAM
+        # fusion regime.  (Letting the measured inserts keep growing the
+        # table drives the smaller sizes to 100% load and measures the
+        # probe loop's full-table worst case, not size scaling.)
+        side = 0.2 * (0.5 * Cc) ** (1.0 / 3.0)
+        ins_c = jax.jit(lambda v, k, s=side: voxel_map.insert(
             v, make_cloud(jax.random.uniform(k, (1 << 17, 3), jnp.float32,
-                                             -40.0, 40.0)), 0.2))
-        for i in range(3):
+                                             -s / 2, s / 2)), 0.2))
+        fills = int(2.5 * 0.5 * Cc / (1 << 17)) + 2
+        for i in range(fills):
             vmc = ins_c(vmc, jax.random.fold_in(key_b, 100 + i))
         jax.block_until_ready(vmc.acc)
-        t0 = time.perf_counter()
-        for i in range(8):
-            vmc = ins_c(vmc, jax.random.fold_in(key_b, 200 + i))
-        jax.block_until_ready(vmc.acc)
-        insert_curve[f"2^{logC}"] = round(
-            (time.perf_counter() - t0) / 8 * 1e3, 2)
+        # Best of 3 rounds per size (ambient tunnel weather, PROFILE.md).
+        best = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            for i in range(6):
+                vmc = ins_c(vmc, jax.random.fold_in(key_b, 200 + 10 * r + i))
+            jax.block_until_ready(vmc.acc)
+            dt = (time.perf_counter() - t0) / 6 * 1e3
+            best = dt if best is None else min(best, dt)
+        insert_curve[f"2^{logC}"] = round(best, 2)
     # Surface-like workload (the SLAM regime): rendered world-frame scans,
     # heavy same-voxel duplication — the realistic per-batch cost.
     surf_scans = []
