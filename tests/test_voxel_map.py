@@ -251,3 +251,73 @@ def test_overflow_eviction_policy_ate():
     assert ate_d < 0.75 * odo_ate, (ate_d, odo_ate)
     # The weight default is at least comparable to the alternative.
     assert ate_w <= ate_d * 1.25 + 0.01, (ate_w, ate_d)
+
+
+def test_transform_content_and_rekey():
+    """Content-only transform (pose-graph feedback fast path): the value
+    view must match the full re-keying transform exactly, stale keys must
+    still produce correct reads, and rekey must restore insert validity."""
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-3, 3, (128, 3)).astype(np.float32)
+    nrm = rng.randn(128, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    import dataclasses
+
+    cloud = dataclasses.replace(make_cloud(jnp.asarray(pts)),
+                                normals=jnp.asarray(nrm))
+    vm = voxel_map.insert(voxel_map.empty(512), cloud, 0.2)
+    T = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.asarray([0.1, -0.2, 0.3], jnp.float32)),
+        jnp.asarray([1.0, -2.0, 0.5], jnp.float32)))
+
+    full = voxel_map.transform(vm, jnp.asarray(T))
+    fast = voxel_map.transform_content(vm, jnp.asarray(T))
+
+    def sorted_pts(v):
+        c = v.cloud
+        p = np.asarray(c.xyz)[np.asarray(c.mask)]
+        return p[np.lexsort(p.T)]
+
+    np.testing.assert_allclose(sorted_pts(fast), sorted_pts(full), atol=1e-4)
+    # Weights preserved; count unchanged.
+    assert int(fast.count()) == int(vm.count())
+    # Rekey restores a valid table: inserting a point at a (moved) voxel
+    # mean FUSES instead of creating a duplicate voxel.
+    rk = voxel_map.rekey(fast)
+    assert int(rk.count()) == int(fast.count())
+    probe_xyz = np.asarray(rk.cloud.xyz)[np.asarray(rk.cloud.mask)][:1]
+    before = int(rk.count())
+    rk2 = voxel_map.insert(rk, make_cloud(jnp.asarray(probe_xyz)), 0.2)
+    assert int(rk2.count()) == before  # fused, not duplicated
+
+
+def test_chain_insert_block_matches_sequential():
+    """The batched tail re-fusion must equal per-record inserts (voxel
+    fusion is an order-independent weighted mean)."""
+    from open3d_slam_advanced_rss_2024_public_tpu.models import pipeline
+
+    rng = np.random.RandomState(2)
+    K, N = 3, 64
+    xyz = rng.uniform(-2, 2, (K, N, 3)).astype(np.float32)
+    mask = rng.rand(K, N) > 0.2
+    from open3d_slam_advanced_rss_2024_public_tpu.utils.pointcloud import PointCloud
+
+    stacked = PointCloud(xyz=jnp.asarray(xyz),
+                         normals=jnp.zeros((K, N, 3), jnp.float32),
+                         mask=jnp.asarray(mask))
+    rec_mask = jnp.asarray([True, False, True])
+    st = pipeline.make_state(voxel_map.empty(1024),
+                             np.eye(4, dtype=np.float32),
+                             np.eye(4, dtype=np.float32))
+    out = pipeline.chain_insert_block(st, stacked, rec_mask, 0.2)
+    # Sequential reference: insert records 0 and 2 individually.
+    vm = voxel_map.empty(1024)
+    for kk in (0, 2):
+        vm = voxel_map.insert(vm, PointCloud(
+            xyz=jnp.asarray(xyz[kk]), normals=jnp.zeros((N, 3), jnp.float32),
+            mask=jnp.asarray(mask[kk])), 0.2)
+    assert int(out.map.count()) == int(vm.count())
+    a = np.asarray(out.map.cloud.xyz)[np.asarray(out.map.cloud.mask)]
+    b = np.asarray(vm.cloud.xyz)[np.asarray(vm.cloud.mask)]
+    np.testing.assert_allclose(a[np.lexsort(a.T)], b[np.lexsort(b.T)],
+                               atol=1e-5)
