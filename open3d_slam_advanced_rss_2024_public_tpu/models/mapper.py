@@ -16,10 +16,13 @@ voxel fusion into the ACTIVE submap's table), with the initial guess
 composed ON DEVICE from the odometry motion delta, so consecutive scans
 chain with ZERO blocking host round-trips.  Refined poses, fitness, and
 insertion flags stream back in lag-K blocks (one batched ``device_get``
-every ``pose_readback_lag`` scans); host bookkeeping — trajectory buffers,
-submap rollover, carving — runs on the lagged readbacks.  This is exactly
-the driver bench.py measures: the shipped ``add_range_measurement`` and
-the benchmark headline are the same code path.
+every ``pose_readback_lag`` scans), consumed by a dedicated READER thread
+(round 5) that performs the blocking readbacks in order and runs the host
+bookkeeping — trajectory buffers, submap rollover, carving — so the
+caller thread only dispatches, throttled by a bounded in-flight window.
+This is exactly the driver bench.py measures: the shipped
+``add_range_measurement`` and the benchmark headline are the same code
+path.
 
 State ownership invariant: while ``self._state`` is set, the live map is
 the device-side chained state and the active submap's ``map`` attribute
@@ -355,9 +358,18 @@ class Mapper:
                                        blk.outs.dropped))
             with self._cv:
                 self._inflight.popleft()
-                if self._process_block(blk, False, vals):
-                    self._rebuild_after_rollover()
-                self._cv.notify_all()
+                try:
+                    if self._process_block(blk, False, vals):
+                        self._rebuild_after_rollover()
+                except Exception:  # noqa: BLE001 — a dead reader would
+                    # hang every flush() forever; surface loudly, drop the
+                    # block, keep draining (the reference's workers are
+                    # similarly exception-insulated per item).
+                    import traceback
+
+                    traceback.print_exc()
+                finally:
+                    self._cv.notify_all()
 
     def _rebuild_after_rollover(self) -> None:
         """A processed block rolled the submap over: the fresh active

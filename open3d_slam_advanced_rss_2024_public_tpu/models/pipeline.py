@@ -84,11 +84,10 @@ class StepOutput:
     admitted the insertion.
 
     ``pose`` and ``map_count`` duplicate fields derivable from the returned
-    MapState on purpose: the state is DONATED into the next chained step
-    (async lag-K driver, models/mapper.py), so the host must hold its
-    per-scan readback targets in buffers that are never donated.  They cost
-    20 bytes per scan and let a whole lag block read back in one
-    ``jax.device_get``."""
+    MapState on purpose: the async lag-K driver (models/mapper.py) chains
+    states forward and must hold small per-scan readback targets separate
+    from the chain.  They cost 20 bytes per scan and let a whole lag
+    block read back in one ``jax.device_get``."""
 
     res: ICPResult
     merged: PointCloud
