@@ -36,7 +36,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 from collections import deque
-from typing import Deque, List, Optional, Tuple
+from typing import Deque, List, Optional
 
 import numpy as np
 import jax

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from ..utils import io as io_utils
 from ..utils.config import SlamParameters
 from ..utils.pointcloud import PointCloud
-from ..utils.timebuf import TransformInterpolationBuffer
 from ..utils.timing import GLOBAL_STATS as _STATS
 from . import motion_compensation
 from .mapper import Mapper

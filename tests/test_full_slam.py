@@ -170,3 +170,36 @@ def test_online_features_computed_off_map_worker():
     assert all(t == "slam-features" for t in threads), threads
     # The finished submap actually got its descriptors.
     assert any(s.features is not None for s in slam.mapper.submaps.submaps)
+
+
+def test_online_trajectory_ordering_under_bursty_feed():
+    """Reader-thread regression (round 5): with a bursty online feed the
+    finalized trajectory must stay complete and strictly time-ordered —
+    the reader processes blocks in dispatch order even while rollovers
+    tag in-flight blocks as tail and the idle poll releases partials."""
+    import time as _t
+
+    world = synthetic.cluttered_world(jax.random.PRNGKey(3), extent=14.0,
+                                      n_objects=12)
+    S = 14
+    gt = synthetic.straight_trajectory(S, step=0.6)
+    slam = SlamWrapper(loop_params())
+    slam.set_initial_transform(gt[0])
+    slam.start_workers()
+    keys = jax.random.split(jax.random.PRNGKey(5), S)
+    for i in range(S):
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=1024,
+                                     max_range=12.0)
+        slam.add_odometry_pose(0.1 * i, gt[i])
+        while not slam.add_range_scan(scan, 0.1 * i):
+            _t.sleep(0.001)
+        if i % 5 == 4:      # bursty: let the queues drain fully
+            _t.sleep(0.15)
+    slam.finish_processing()
+    slam.stop_workers()
+    assert len(slam.trajectory_times) == S
+    ts = np.asarray(slam.trajectory_times)
+    assert (np.diff(ts) > 0).all(), "trajectory times out of order"
+    errs = [np.linalg.norm(p[:3, 3] - gt[i][:3, 3])
+            for i, p in enumerate(slam.trajectory_poses)]
+    assert max(errs) < 0.5
