@@ -330,7 +330,10 @@ class Mapper:
         db = jnp.asarray(np.stack(motions).astype(np.float32))
         eb = jnp.asarray(np.asarray(ens, dtype=bool))
         self._ensure_state()
-        self._state, outs = pipeline.mapper_step_block(
+        block_fn = (pipeline.mapper_step_block_shared_ref
+                    if (self.pipe_cfg.shared_block_reference and len(scans) > 1)
+                    else pipeline.mapper_step_block)
+        self._state, outs = block_fn(
             self._state, sb, db, eb, self.pipe_cfg)
         # Pre-issue the host copies: by the time this block is processed
         # (one block behind), the transfer has ridden the tunnel already.

@@ -63,6 +63,14 @@ class PipelineConfig:
     # Insertion gate: minimum motion since last insertion (reference
     # min_movement_between_mapping_steps, Mapper.cpp:483-489).
     min_movement_between_steps: float = 0.0
+    # Extra crop radius for the block-shared ICP reference (covers robot
+    # motion across one lag block, ≙ the staleness the reference accepts
+    # between its periodic reference re-inits, Mapper.cpp:349-380).
+    block_ref_margin: float = 4.0
+    # Use the block-shared-reference program for saturated lag blocks
+    # (mapper_step_block_shared_ref); single-scan blocks always use the
+    # per-scan crop.
+    shared_block_reference: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -271,6 +279,82 @@ def mapper_step_block(state: MapState, scans: PointCloud, odom_deltas: Array,
         return st2, out
 
     return jax.lax.scan(body, state, (scans, odom_deltas, insert_enables))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapper_step_block_shared_ref(state: MapState, scans: PointCloud,
+                                 odom_deltas: Array, insert_enables: Array,
+                                 cfg: PipelineConfig
+                                 ) -> Tuple[MapState, StepOutput]:
+    """``mapper_step_block`` with two block-level restructurings:
+
+    1. Scan preprocessing is BATCHED over the K scans (vmap) instead of
+       re-entering the per-scan sequential chain — the argsort/moments
+       kernels run at [K, N] shapes with one launch each.
+    2. The ICP reference (map patch crop + matcher grid) is built ONCE per
+       block from the chain state at block start, exactly the reference's
+       periodic reference re-init (Mapper.cpp:349-380: the libpointmatcher
+       reference + kd-tree rebuild every ``referenceCloudSettingPeriod``
+       seconds, NOT every scan — at lag 8 / 10 Hz the staleness is 0.8 s,
+       well under the reference's 1-2 s default).  The crop radius gets a
+       ``block_ref_margin`` so scans late in the block stay covered as
+       the robot moves; insertion still lands in the LIVE chained table
+       every scan.
+    """
+
+    def pre(s):
+        wide = scan_processing.preprocess_scan(
+            s,
+            wide_min_radius=cfg.crop_min_radius,
+            wide_max_radius=cfg.crop_max_radius,
+            voxel_size=cfg.scan_voxel_size,
+            downsampling_ratio=1.0,
+            capacity=cfg.scan_capacity,
+            estimate_scan_normals=True,
+            normal_knn=cfg.normal_knn,
+            normal_engine=scan_processing.resolve_normal_engine(
+                cfg.normal_engine),
+        )
+        match = scan_processing.narrow_crop(wide, cfg.crop_min_radius,
+                                            cfg.crop_max_radius)
+        return wide, match
+
+    wides, matches = jax.vmap(pre)(scans)
+
+    _, grid = scan_processing.crop_submap_and_index(
+        state.map.cloud, state.pose[:3, 3],
+        min_radius=0.0, max_radius=cfg.crop_max_radius + cfg.block_ref_margin,
+        match_dist=cfg.icp.max_correspondence_dist,
+        capacity=cfg.map_patch_capacity,
+        build_hash=(cfg.icp.matcher == "hashgrid"),
+    )
+    empty_map = state.map.count() == 0
+
+    def body(st, inp):
+        wide_i, match_i, delta_i, en_i = inp
+        estimate_T = st.pose @ delta_i
+        res = icp_mod.register(match_i, grid, estimate_T, cfg.icp)
+        ok = res.match_ratio >= cfg.min_refinement_fitness
+        use_icp = jnp.logical_and(ok, jnp.logical_not(empty_map))
+        T = jnp.where(use_icp, res.transform, estimate_T)
+        motion = jnp.linalg.norm(T[:3, 3] - st.last_insertion_pose[:3, 3])
+        insert_ok = jnp.logical_and(
+            jnp.asarray(en_i, bool),
+            jnp.logical_or(motion >= cfg.min_movement_between_steps,
+                           empty_map))
+        merged = wide_i.transform(T)
+        gated = merged.with_mask(jnp.logical_and(merged.mask, insert_ok))
+        new_map = voxel_map.insert(st.map, gated, cfg.map_voxel_size)
+        st2 = MapState(
+            map=new_map, pose=T,
+            last_insertion_pose=jnp.where(insert_ok, T,
+                                          st.last_insertion_pose))
+        return st2, StepOutput(res=res, merged=merged, inserted=insert_ok,
+                               pose=T, map_count=new_map.count(),
+                               dropped=new_map.dropped)
+
+    return jax.lax.scan(body, state,
+                        (wides, matches, odom_deltas, insert_enables))
 
 
 def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,
