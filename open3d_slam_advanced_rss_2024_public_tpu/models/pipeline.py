@@ -330,31 +330,48 @@ def mapper_step_block_shared_ref(state: MapState, scans: PointCloud,
     )
     empty_map = state.map.count() == 0
 
-    def body(st, inp):
+    # Registration chain: with the block-shared reference, ICP of scan
+    # t+1 depends only on scan t's POSE (not the evolving map), so the
+    # scan carry is just (pose, last_insertion_pose).
+    def body(carry, inp):
+        pose_c, last_ins = carry
         wide_i, match_i, delta_i, en_i = inp
-        estimate_T = st.pose @ delta_i
+        estimate_T = pose_c @ delta_i
         res = icp_mod.register(match_i, grid, estimate_T, cfg.icp)
         ok = res.match_ratio >= cfg.min_refinement_fitness
         use_icp = jnp.logical_and(ok, jnp.logical_not(empty_map))
         T = jnp.where(use_icp, res.transform, estimate_T)
-        motion = jnp.linalg.norm(T[:3, 3] - st.last_insertion_pose[:3, 3])
+        motion = jnp.linalg.norm(T[:3, 3] - last_ins[:3, 3])
         insert_ok = jnp.logical_and(
             jnp.asarray(en_i, bool),
             jnp.logical_or(motion >= cfg.min_movement_between_steps,
                            empty_map))
         merged = wide_i.transform(T)
-        gated = merged.with_mask(jnp.logical_and(merged.mask, insert_ok))
-        new_map = voxel_map.insert(st.map, gated, cfg.map_voxel_size)
-        st2 = MapState(
-            map=new_map, pose=T,
-            last_insertion_pose=jnp.where(insert_ok, T,
-                                          st.last_insertion_pose))
-        return st2, StepOutput(res=res, merged=merged, inserted=insert_ok,
-                               pose=T, map_count=new_map.count(),
-                               dropped=new_map.dropped)
+        new_last = jnp.where(insert_ok, T, last_ins)
+        return (T, new_last), (res, merged, insert_ok, T)
 
-    return jax.lax.scan(body, state,
-                        (wides, matches, odom_deltas, insert_enables))
+    (pose_f, last_f), (ress, mergeds, insert_oks, Ts) = jax.lax.scan(
+        body, (state.pose, state.last_insertion_pose),
+        (wides, matches, odom_deltas, insert_enables))
+
+    # ONE fused insert for the whole block (voxel fusion is an order-
+    # independent weighted mean): ~2.8 ms per-scan insert cost amortizes
+    # K-fold.  map_count/dropped consequently report BLOCK-END values for
+    # every record — the rollover budget check is per-block anyway.
+    K, N = mergeds.xyz.shape[0], mergeds.xyz.shape[1]
+    flat = jax.tree.map(
+        lambda x: x.reshape((K * N,) + x.shape[2:]) if hasattr(x, "shape")
+        and x.ndim >= 2 else x, mergeds)
+    m = jnp.logical_and(mergeds.mask.reshape(-1), jnp.repeat(insert_oks, N))
+    new_map = voxel_map.insert(state.map, flat.with_mask(m),
+                               cfg.map_voxel_size)
+    new_state = MapState(map=new_map, pose=pose_f,
+                         last_insertion_pose=last_f)
+    outs = StepOutput(
+        res=ress, merged=mergeds, inserted=insert_oks, pose=Ts,
+        map_count=jnp.broadcast_to(new_map.count(), (K,)),
+        dropped=jnp.broadcast_to(new_map.dropped, (K,)))
+    return new_state, outs
 
 
 def run_sequence(state: MapState, scans: PointCloud, odom_deltas: Array,
