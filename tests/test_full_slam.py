@@ -181,19 +181,20 @@ def test_online_trajectory_ordering_under_bursty_feed():
 
     world = synthetic.cluttered_world(jax.random.PRNGKey(3), extent=14.0,
                                       n_objects=12)
-    S = 14
+    S = 10
     gt = synthetic.straight_trajectory(S, step=0.6)
     slam = SlamWrapper(loop_params())
     slam.set_initial_transform(gt[0])
     slam.start_workers()
     keys = jax.random.split(jax.random.PRNGKey(5), S)
     for i in range(S):
-        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=1024,
+        # 4096-pt scans REUSE the shapes the other online tests compiled.
+        scan = synthetic.render_scan(world, gt[i], keys[i], n_points=4096,
                                      max_range=12.0)
         slam.add_odometry_pose(0.1 * i, gt[i])
         while not slam.add_range_scan(scan, 0.1 * i):
             _t.sleep(0.001)
-        if i % 5 == 4:      # bursty: let the queues drain fully
+        if i % 4 == 3:      # bursty: let the queues drain fully
             _t.sleep(0.15)
     slam.finish_processing()
     slam.stop_workers()
