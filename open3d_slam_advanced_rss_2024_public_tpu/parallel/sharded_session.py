@@ -88,7 +88,7 @@ def _gather_map_cloud(maps: voxel_map.VoxelMap, capacity: int) -> PointCloud:
 
 
 def run_sharded_slam_session(
-        mesh, world, gt: List[np.ndarray], scans: List[PointCloud],
+        mesh, gt: List[np.ndarray], scans: List[PointCloud],
         odom_deltas: List[np.ndarray],
         scans_per_submap: int = 6,
         capacity_per_device: int = 4096,

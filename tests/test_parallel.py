@@ -221,7 +221,7 @@ def test_full_sharded_slam_session():
         d = np.eye(4, dtype=np.float32) if i == 0 else (
             np.linalg.inv(gt[i - 1]) @ gt[i]).astype(np.float32)
         deltas.append((d @ yaw_bias).astype(np.float32))
-    res = run_sharded_slam_session(mesh, world, gt, scans, deltas,
+    res = run_sharded_slam_session(mesh, gt, scans, deltas,
                                    scans_per_submap=6)
     assert res["n_submaps"] >= 3
     assert res["lc_found"]
